@@ -1,0 +1,508 @@
+"""LakeTable: the engine's Iceberg-semantics table.
+
+Write path: Spark writes a staging directory (one job, fully parallel);
+the driver then renames finished part-files into ``data/<partition>/`` with
+unique names, harvests per-file min/max stats from parquet FOOTERS ONLY
+(metadata reads, no data IO — what Iceberg write tasks report distributedly),
+writes one manifest, and commits optimistically.
+
+Partition columns are kept INSIDE the data files (self-contained files,
+Iceberg-style); the ``source=<v>`` directory layout is derived from a shadow
+``_p_<col>`` routing column that is dropped from the stored schema.
+
+Scale notes (100 TB / 1000 executors): commits are O(delta) manifests;
+scan planning reads only manifest JSON; file pruning uses partition values +
+min/max before Spark ever lists a path, so a query for one source over a
+10^12-row corpus plans from KBs of metadata. The driver-side rename loop is
+the single-writer metadata step that Iceberg also does in its commit (the
+data movement itself is zero-copy rename).
+"""
+
+from __future__ import annotations
+
+import os
+import shutil
+import time
+import uuid
+from collections.abc import Callable
+from concurrent.futures import ThreadPoolExecutor
+
+import pyarrow.parquet as pq
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from octocode_spark.lakehouse.metadata import (
+    DataFile,
+    Manifest,
+    Snapshot,
+    TableMetadata,
+    _new_id,
+    load_latest_metadata,
+    read_manifest,
+    write_manifest,
+    write_metadata_exclusive,
+)
+
+
+class CommitConflict(Exception):
+    """Raised when a replace commit loses: a file it replaces is gone."""
+
+
+def _now_ms() -> int:
+    return int(time.time() * 1000)
+
+
+class LakeTable:
+    def __init__(self, root: str, meta: TableMetadata):
+        self.root = root
+        self.meta = meta
+
+    # ------------------------------------------------------------------ create/load
+    @staticmethod
+    def create(
+        root: str,
+        schema: T.StructType,
+        partition_by: list[str] | None = None,
+        stat_cols: list[str] | None = None,
+        properties: dict[str, str] | None = None,
+    ) -> "LakeTable":
+        os.makedirs(os.path.join(root, "metadata"), exist_ok=False)
+        os.makedirs(os.path.join(root, "data"), exist_ok=True)
+        meta = TableMetadata(
+            table_uuid=uuid.uuid4().hex,
+            schema_json=schema.jsonValue(),
+            partition_by=partition_by or [],
+            stat_cols=stat_cols or [],
+            current_snapshot_id=None,
+            snapshots=[],
+            properties=properties or {},
+            version=0,
+        )
+        if not write_metadata_exclusive(root, meta):
+            raise FileExistsError(f"table already exists at {root}")
+        return LakeTable(root, meta)
+
+    @staticmethod
+    def load(root: str) -> "LakeTable":
+        return LakeTable(root, load_latest_metadata(root))
+
+    def refresh(self) -> "LakeTable":
+        self.meta = load_latest_metadata(self.root)
+        return self
+
+    @property
+    def schema(self) -> T.StructType:
+        return T.StructType.fromJson(self.meta.schema_json)
+
+    # ------------------------------------------------------------------ scan
+    def manifests(self, snapshot_id: int | None = None) -> list[Manifest]:
+        snap = self.meta.snapshot(snapshot_id)
+        if snap is None:
+            return []
+        return [read_manifest(self.root, rel) for rel in snap.manifests]
+
+    def files(
+        self,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+        stat_filter: Callable[[DataFile], bool] | None = None,
+    ) -> list[DataFile]:
+        """Plan a scan: manifest-level partition pruning + min/max skipping.
+
+        ``stat_filter(df) -> keep?`` sees each file's stats dict; helpers in
+        this module build common range predicates.
+        """
+        out: list[DataFile] = []
+        for mf in self.manifests(snapshot_id):
+            for f in mf.files:
+                if partition_filter and any(f.partition.get(k) != v for k, v in partition_filter.items()):
+                    continue
+                if stat_filter and not stat_filter(f):
+                    continue
+                out.append(f)
+        return out
+
+    def read(
+        self,
+        spark: SparkSession,
+        snapshot_id: int | None = None,
+        partition_filter: dict[str, str] | None = None,
+        stat_filter: Callable[[DataFile], bool] | None = None,
+    ) -> DataFrame:
+        files = self.files(snapshot_id, partition_filter, stat_filter)
+        return self.read_files(spark, files)
+
+    def read_files(self, spark: SparkSession, files: list[DataFile]) -> DataFrame:
+        if not files:
+            return spark.createDataFrame([], self.schema)
+        paths = [os.path.join(self.root, f.path) for f in files]
+        return spark.read.schema(self.schema).parquet(*paths)
+
+    def partitions(self, snapshot_id: int | None = None) -> dict[str, list[DataFile]]:
+        """Group live files by partition key string (ledger grain)."""
+        groups: dict[str, list[DataFile]] = {}
+        for f in self.files(snapshot_id):
+            key = partition_key(f.partition)
+            groups.setdefault(key, []).append(f)
+        return groups
+
+    # ------------------------------------------------------------------ write
+    def _write_datafiles(self, df: DataFrame, sort_within: list[str] | None = None) -> list[DataFile]:
+        """Run the Spark write job into staging, move files into data/,
+        harvest footer stats. Returns the new DataFiles (uncommitted)."""
+        staging = os.path.join(self.root, "_tmp", uuid.uuid4().hex)
+        part_cols = self.meta.partition_by
+        writer_df = df
+        if sort_within:
+            writer_df = writer_df.sortWithinPartitions(*sort_within)
+        writer = writer_df.write.mode("overwrite")
+        if part_cols:
+            # shadow routing columns keep the real columns inside the files
+            for c in part_cols:
+                writer_df = writer_df.withColumn(f"_p_{c}", writer_df[c])
+            writer = writer_df.write.mode("overwrite").partitionBy([f"_p_{c}" for c in part_cols])
+        writer.parquet(staging)
+
+        moved: list[tuple[str, dict[str, str]]] = []  # (rel_path, partition)
+        for dirpath, _dirs, names in os.walk(staging):
+            partition: dict[str, str] = {}
+            rel_dir = os.path.relpath(dirpath, staging)
+            if rel_dir != ".":
+                for seg in rel_dir.split(os.sep):
+                    if "=" in seg:
+                        k, v = seg.split("=", 1)
+                        if k.startswith("_p_"):
+                            k = k[3:]
+                        partition[k] = _unescape_path_value(v)
+            for name in names:
+                if not name.endswith(".parquet"):
+                    continue
+                part_dir = os.path.join(
+                    "data", *(f"{k}={_escape_path_value(v)}" for k, v in partition.items())
+                )
+                os.makedirs(os.path.join(self.root, part_dir), exist_ok=True)
+                rel = os.path.join(part_dir, f"{uuid.uuid4().hex}.parquet")
+                os.rename(os.path.join(dirpath, name), os.path.join(self.root, rel))
+                moved.append((rel, partition))
+        shutil.rmtree(staging, ignore_errors=True)
+
+        stat_cols = self.meta.stat_cols
+        with ThreadPoolExecutor(max_workers=16) as pool:
+            dfiles = list(
+                pool.map(lambda mp: _harvest(self.root, mp[0], mp[1], stat_cols), moved)
+            )
+        return [f for f in dfiles if f.records > 0]
+
+    def append(self, df: DataFrame) -> Snapshot:
+        added = self._write_datafiles(df)
+        return self._commit("append", added=added, replaced=[])
+
+    def overwrite_all(self, df: DataFrame) -> Snapshot:
+        added = self._write_datafiles(df)
+        live = [f.path for f in self.files()]
+        return self._commit("overwrite", added=added, replaced=live)
+
+    def replace_files(
+        self, replaced_paths: list[str], added: list[DataFile], operation: str = "replace",
+        summary: dict | None = None,
+    ) -> Snapshot:
+        return self._commit(operation, added=added, replaced=replaced_paths, summary=summary)
+
+    def delete_where(self, spark: SparkSession, predicate) -> Snapshot | None:
+        """Copy-on-write DELETE: rewrite only files containing matching rows.
+
+        ``predicate`` is a Column; file selection first prunes by stats when
+        possible (the caller can pre-filter), then a per-file anti-filter
+        rewrite. Analog of reference delete-by-predicate
+        (src/store/table_ops.rs:141-182) but file-granular, not table-scan.
+        """
+        from pyspark.sql import functions as F
+
+        files = self.files()
+        if not files:
+            return None
+        src = self.read_files(spark, files).withColumn("_file", F.input_file_name())
+        hit_files = [r["_file"] for r in src.filter(predicate).select("_file").distinct().collect()]
+        if not hit_files:
+            return None
+        hit_rel = [os.path.relpath(_strip_scheme(p), self.root) for p in hit_files]
+        keep_df = (
+            spark.read.schema(self.schema).parquet(*[_strip_scheme(p) for p in hit_files])
+            .filter(~predicate)
+        )
+        added = self._write_datafiles(keep_df)
+        return self._commit("delete", added=added, replaced=hit_rel)
+
+    # ------------------------------------------------------------------ commit
+    def _commit(
+        self,
+        operation: str,
+        added: list[DataFile],
+        replaced: list[str],
+        summary: dict | None = None,
+        max_retries: int = 20,
+    ) -> Snapshot:
+        """Optimistic commit: retried against fresh metadata on version races.
+
+        Appends never conflict. Replaces conflict iff a replaced file is no
+        longer live in the latest snapshot (someone else rewrote it) —
+        CommitConflict lets the caller re-plan, mirroring Iceberg's
+        CommitFailedException semantics.
+        """
+        replaced_set = set(replaced)
+        added_manifest = write_manifest(self.root, added) if added else None
+        attempt = 0
+        while True:
+            meta = load_latest_metadata(self.root) if attempt else self.meta
+            parent = meta.snapshot()
+            parent_manifests = list(parent.manifests) if parent else []
+            if replaced_set:
+                live = set()
+                new_manifests: list[str] = []
+                for rel in parent_manifests:
+                    mf = read_manifest(self.root, rel)
+                    live.update(f.path for f in mf.files)
+                    hit = [f for f in mf.files if f.path in replaced_set]
+                    if not hit:
+                        new_manifests.append(rel)
+                    else:
+                        keep = [f for f in mf.files if f.path not in replaced_set]
+                        if keep:
+                            new_manifests.append(write_manifest(self.root, keep))
+                missing = replaced_set - live
+                if missing:
+                    raise CommitConflict(
+                        f"{operation}: {len(missing)} replaced file(s) no longer live, e.g. "
+                        f"{sorted(missing)[:3]}"
+                    )
+            else:
+                new_manifests = list(parent_manifests)
+            if added_manifest:
+                new_manifests.append(added_manifest)
+
+            snap = Snapshot(
+                snapshot_id=_new_id(),
+                parent_id=parent.snapshot_id if parent else None,
+                timestamp_ms=_now_ms(),
+                operation=operation,
+                manifests=new_manifests,
+                summary={
+                    "added-files": len(added),
+                    "added-records": sum(f.records for f in added),
+                    "added-bytes": sum(f.bytes for f in added),
+                    "removed-files": len(replaced_set),
+                    **(summary or {}),
+                },
+            )
+            new_meta = TableMetadata(
+                table_uuid=meta.table_uuid,
+                schema_json=meta.schema_json,
+                partition_by=meta.partition_by,
+                stat_cols=meta.stat_cols,
+                current_snapshot_id=snap.snapshot_id,
+                snapshots=meta.snapshots + [snap],
+                properties=meta.properties,
+                version=meta.version + 1,
+            )
+            if write_metadata_exclusive(self.root, new_meta):
+                self.meta = new_meta
+                return snap
+            attempt += 1
+            if attempt > max_retries:
+                raise CommitConflict(f"{operation}: lost {max_retries} commit races, giving up")
+            time.sleep(0.01 * attempt)
+
+    # ------------------------------------------------------------------ maintenance: expiry + GC
+    def expire_snapshots(
+        self, older_than_ms: int | None = None, retain_last: int = 1
+    ) -> list[int]:
+        """Drop snapshot entries (keeping the current one and the most recent
+        ``retain_last``); commits a new metadata version. Reference analog:
+        7-day version pruning inside optimize_tables (src/store/mod.rs:674-676)."""
+        retain_last = max(retain_last, 1)
+        while True:
+            meta = load_latest_metadata(self.root)
+            snaps = meta.snapshots
+            keep: list[Snapshot] = []
+            expired: list[int] = []
+            cutoff_idx = max(0, len(snaps) - retain_last)
+            for i, s in enumerate(snaps):
+                retained = i >= cutoff_idx or s.snapshot_id == meta.current_snapshot_id
+                too_old = older_than_ms is None or s.timestamp_ms < older_than_ms
+                if not retained and too_old:
+                    expired.append(s.snapshot_id)
+                else:
+                    keep.append(s)
+            if not expired:
+                return []
+            new_meta = TableMetadata(
+                table_uuid=meta.table_uuid,
+                schema_json=meta.schema_json,
+                partition_by=meta.partition_by,
+                stat_cols=meta.stat_cols,
+                current_snapshot_id=meta.current_snapshot_id,
+                snapshots=keep,
+                properties=meta.properties,
+                version=meta.version + 1,
+            )
+            if write_metadata_exclusive(self.root, new_meta):
+                self.meta = new_meta
+                return expired
+            time.sleep(0.01)
+
+    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
+        """Delete data + manifest files unreferenced by ANY retained snapshot.
+        Reference analog: orphan/stale cleanup (src/indexer/mod.rs:282-366)."""
+        meta = load_latest_metadata(self.root)
+        referenced_data: set[str] = set()
+        referenced_manifests: set[str] = set()
+        for s in meta.snapshots:
+            for rel in s.manifests:
+                referenced_manifests.add(rel)
+                for f in read_manifest(self.root, rel).files:
+                    referenced_data.add(f.path)
+        orphans: list[str] = []
+        data_root = os.path.join(self.root, "data")
+        for dirpath, _dirs, names in os.walk(data_root):
+            for name in names:
+                rel = os.path.relpath(os.path.join(dirpath, name), self.root)
+                if rel not in referenced_data:
+                    orphans.append(rel)
+        mdir = os.path.join(self.root, "metadata")
+        for name in os.listdir(mdir):
+            if name.startswith("mf-") and name.endswith(".json"):
+                rel = os.path.join("metadata", name)
+                if rel not in referenced_manifests:
+                    orphans.append(rel)
+        if not dry_run:
+            for rel in orphans:
+                try:
+                    os.unlink(os.path.join(self.root, rel))
+                except FileNotFoundError:
+                    pass
+            # prune now-empty partition dirs
+            for dirpath, dirs, names in os.walk(data_root, topdown=False):
+                if not dirs and not names and dirpath != data_root:
+                    try:
+                        os.rmdir(dirpath)
+                    except OSError:
+                        pass
+        return orphans
+
+    def rewrite_manifests(self, group_by_partition: bool = True) -> Snapshot | None:
+        """Merge the accumulated per-commit manifests into one per partition
+        (or one total), refreshing stats layout — Iceberg rewrite_manifests."""
+        live = self.files()
+        snap = self.meta.snapshot()
+        if snap is None or len(snap.manifests) <= 1:
+            return None
+        groups: dict[str, list[DataFile]] = {}
+        for f in live:
+            key = partition_key(f.partition) if group_by_partition else "all"
+            groups.setdefault(key, []).append(f)
+        new_manifests = [write_manifest(self.root, fs) for fs in groups.values()]
+        while True:
+            meta = load_latest_metadata(self.root)
+            cur = meta.snapshot()
+            if cur is None or cur.snapshot_id != snap.snapshot_id:
+                raise CommitConflict("rewrite-manifests: table advanced during rewrite")
+            new_snap = Snapshot(
+                snapshot_id=_new_id(),
+                parent_id=cur.snapshot_id,
+                timestamp_ms=_now_ms(),
+                operation="rewrite-manifests",
+                manifests=new_manifests,
+                summary={"manifests-before": len(cur.manifests), "manifests-after": len(new_manifests)},
+            )
+            new_meta = TableMetadata(
+                table_uuid=meta.table_uuid,
+                schema_json=meta.schema_json,
+                partition_by=meta.partition_by,
+                stat_cols=meta.stat_cols,
+                current_snapshot_id=new_snap.snapshot_id,
+                snapshots=meta.snapshots + [new_snap],
+                properties=meta.properties,
+                version=meta.version + 1,
+            )
+            if write_metadata_exclusive(self.root, new_meta):
+                self.meta = new_meta
+                return new_snap
+            time.sleep(0.01)
+
+
+# ---------------------------------------------------------------------- helpers
+
+def partition_key(partition: dict[str, str]) -> str:
+    return "/".join(f"{k}={v}" for k, v in sorted(partition.items())) or "<unpartitioned>"
+
+
+def _escape_path_value(v: str) -> str:
+    return v.replace("/", "%2F").replace("=", "%3D")
+
+
+def _unescape_path_value(v: str) -> str:
+    return v.replace("%3D", "=").replace("%2F", "/")
+
+
+def _strip_scheme(p: str) -> str:
+    from urllib.parse import unquote
+
+    if p.startswith("file://"):
+        p = p[7:]
+    return unquote(p)
+
+
+def _harvest(root: str, rel: str, partition: dict[str, str], stat_cols: list[str]) -> DataFile:
+    """Footer-only stat harvest: row count, byte size, per-column min/max."""
+    full = os.path.join(root, rel)
+    size = os.path.getsize(full)
+    pf = pq.ParquetFile(full)
+    md = pf.metadata
+    records = md.num_rows
+    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+    stats: dict[str, list] = {}
+    for col in stat_cols:
+        idx = name_to_idx.get(col)
+        if idx is None:
+            continue
+        lo = hi = None
+        ok = True
+        for rg in range(md.num_row_groups):
+            st = md.row_group(rg).column(idx).statistics
+            if st is None or not st.has_min_max:
+                ok = False
+                break
+            mn, mx = st.min, st.max
+            if isinstance(mn, bytes):
+                mn = mn.decode("utf-8", "replace")
+            if isinstance(mx, bytes):
+                mx = mx.decode("utf-8", "replace")
+            lo = mn if lo is None else min(lo, mn)
+            hi = mx if hi is None else max(hi, mx)
+        if ok and lo is not None:
+            stats[col] = [_jsonable(lo), _jsonable(hi)]
+    return DataFile(path=rel, partition=partition, records=records, bytes=size, stats=stats)
+
+
+def _jsonable(v):
+    if hasattr(v, "item"):
+        return v.item()
+    if isinstance(v, (str, int, float, bool)) or v is None:
+        return v
+    return str(v)
+
+
+def stat_range_filter(col: str, lo=None, hi=None) -> Callable[[DataFile], bool]:
+    """File-skip predicate: keep the file iff [min,max] intersects [lo,hi].
+    Files without stats for ``col`` are conservatively kept."""
+    def keep(f: DataFile) -> bool:
+        st = f.stats.get(col)
+        if not st:
+            return True
+        fmin, fmax = st
+        if lo is not None and fmax < lo:
+            return False
+        if hi is not None and fmin > hi:
+            return False
+        return True
+    return keep
