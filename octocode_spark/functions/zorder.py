@@ -53,7 +53,11 @@ def _axes_to_transpose(x0: np.ndarray, x1: np.ndarray, x2: np.ndarray, bits: int
     one = np.uint64(1)
     while Q > one:
         P = Q - one
-        for i in range(n):
+        # i == 0: invert-or-noop (the exchange with itself is a no-op);
+        # kept separate because X[i] aliases X[0] here
+        cond0 = (X[0] & Q) != 0
+        X[0] = np.where(cond0, X[0] ^ P, X[0]).astype(np.uint64)
+        for i in range(1, n):
             cond = (X[i] & Q) != 0
             t = (X[0] ^ X[i]) & P
             new_x0 = np.where(cond, X[0] ^ P, X[0] ^ t)

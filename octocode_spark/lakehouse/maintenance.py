@@ -1,0 +1,221 @@
+"""Table maintenance: adaptive compaction planning + clustered rewrite.
+
+Reference anchors:
+- optimize_tables (compact fragments + extend indexes + prune versions),
+  src/store/mod.rs:666-721 → plan_compaction + rewrite_partitions +
+  rewrite_manifests + expire_snapshots.
+- adaptive layout parameters from table size, src/store/vector_optimizer.rs:
+  130-197 → target file count = ceil(bytes / 512MB), skip partitions already
+  at target layout.
+- growth-triggered re-layout >50% drift, src/store/vector_optimizer.rs:226-258
+  → needs_recluster().
+
+Scale design: planning is METADATA-ONLY (manifest stats, no data IO); each
+partition commits its own snapshot so (a) a killed job resumes at partition
+granularity via the ledger, (b) concurrent readers see atomic per-partition
+transitions, (c) the commit critical section stays O(one partition's files)
+even when the table has 10^12 rows. Partitions are processed in descending
+byte size (longest-pole-first) — at 1000 executors the scheduler fills the
+tail with small partitions.
+"""
+
+from __future__ import annotations
+
+import os
+import time
+from dataclasses import dataclass, field
+
+from pyspark.sql import SparkSession
+
+from octocode_spark.functions.zorder import with_cluster_key
+from octocode_spark.lakehouse.ledger import Ledger
+from octocode_spark.lakehouse.metadata import DataFile
+from octocode_spark.lakehouse.table import LakeTable, partition_key
+
+TARGET_FILE_SIZE = 512 * 1024 * 1024  # north-star 512MB bin-pack target
+
+
+@dataclass
+class PartitionPlan:
+    partition: dict[str, str]
+    key: str
+    inputs: list[DataFile]
+    target_files: int
+    reason: str  # small-files | recluster | merge
+
+    @property
+    def bytes(self) -> int:
+        return sum(f.bytes for f in self.inputs)
+
+    @property
+    def records(self) -> int:
+        return sum(f.records for f in self.inputs)
+
+
+@dataclass
+class CompactionPlan:
+    partitions: list[PartitionPlan] = field(default_factory=list)
+
+    @property
+    def bytes(self) -> int:
+        return sum(p.bytes for p in self.partitions)
+
+    @property
+    def records(self) -> int:
+        return sum(p.records for p in self.partitions)
+
+
+def plan_compaction(
+    table: LakeTable,
+    target_file_size: int = TARGET_FILE_SIZE,
+    small_file_ratio: float = 0.75,
+    min_input_files: int = 2,
+    force: bool = False,
+) -> CompactionPlan:
+    """Pick partitions worth rewriting, metadata-only.
+
+    A partition needs compaction when it has ≥ min_input_files files below
+    small_file_ratio × target (the small-files problem the reference's
+    fragment compaction solves). Already-compacted partitions are skipped —
+    the vector_optimizer's "skip below threshold" discipline — which makes
+    repeated maintenance runs idempotent and cheap.
+    """
+    plan = CompactionPlan()
+    small_cut = int(target_file_size * small_file_ratio)
+    for key, files in sorted(table.partitions().items()):
+        small = [f for f in files if f.bytes < small_cut]
+        if not force and len(small) < min_input_files:
+            continue
+        inputs = files if force else small
+        if not inputs:
+            continue
+        total = sum(f.bytes for f in inputs)
+        target_files = max(1, -(-total // target_file_size))  # ceil
+        if not force and len(inputs) <= target_files:
+            continue  # already at or below target layout
+        plan.partitions.append(
+            PartitionPlan(
+                partition=inputs[0].partition,
+                key=key,
+                inputs=inputs,
+                target_files=target_files,
+                reason="small-files" if not force else "recluster",
+            )
+        )
+    # longest pole first
+    plan.partitions.sort(key=lambda p: p.bytes, reverse=True)
+    return plan
+
+
+def needs_recluster(before_files: int, before_rows: int, after_files: int, after_rows: int,
+                    drift: float = 0.5) -> bool:
+    """Growth-triggered re-layout (reference: recreate index when partition
+    count drifted >50% or rows grew >50%, vector_optimizer.rs:226-258)."""
+    if before_rows <= 0 or before_files <= 0:
+        return True
+    return (
+        abs(after_files - before_files) / before_files > drift
+        or (after_rows - before_rows) / before_rows > drift
+    )
+
+
+@dataclass
+class RewriteResult:
+    partitions_done: list[str]
+    partitions_skipped: list[str]
+    files_in: int
+    files_out: int
+    bytes_in: int
+    rows: int
+    seconds: float
+    snapshots: list[int]
+
+
+def rewrite_partitions(
+    spark: SparkSession,
+    table: LakeTable,
+    plan: CompactionPlan,
+    ledger: Ledger | None = None,
+    op: str = "compact",
+    cluster_by: str | None = None,  # None | "zorder" | "hilbert"
+    target_file_size: int = TARGET_FILE_SIZE,
+    fail_after: int | None = None,  # test hook: simulate a kill after k partitions
+) -> RewriteResult:
+    """Execute the plan partition-by-partition, one atomic snapshot each,
+    ledger row written ONLY after the snapshot commits (C3 write ordering).
+
+    Resume: partitions whose ledger row is `done` AND whose commit_id is
+    still in the snapshot log are skipped (lineage-validated replay, C6).
+    """
+    valid_ids = {s.snapshot_id for s in table.meta.snapshots}
+    done_before = ledger.done_partitions(op, valid_ids) if ledger else set()
+
+    res = RewriteResult([], [], 0, 0, 0, 0, 0.0, [])
+    t0 = time.monotonic()
+    completed = 0
+    for p in plan.partitions:
+        if p.key in done_before:
+            res.partitions_skipped.append(p.key)
+            continue
+        if fail_after is not None and completed >= fail_after:
+            raise RuntimeError(f"simulated kill after {completed} partitions")
+        if ledger:
+            ledger.mark_pending(op, p.key)
+        df = table.read_files(spark, p.inputs)
+        if cluster_by:
+            # range-partition on the curve key → disjoint per-file key ranges
+            # → tight min/max stats → manifest file-skipping actually works
+            df = (
+                with_cluster_key(df, curve=cluster_by)
+                .repartitionByRange(p.target_files, "_zkey")
+                .sortWithinPartitions("_zkey")
+                .drop("_zkey")
+            )
+        else:
+            df = df.repartition(p.target_files)
+        added = table._write_datafiles(df)
+        snap = table.replace_files(
+            [f.path for f in p.inputs],
+            added,
+            operation=op,
+            summary={"partition": p.key, "reason": p.reason, "cluster": cluster_by or "none"},
+        )
+        if ledger:
+            ledger.mark_done(op, p.key, len(p.inputs), p.bytes, p.records, snap.snapshot_id)
+        res.partitions_done.append(p.key)
+        res.files_in += len(p.inputs)
+        res.files_out += len(added)
+        res.bytes_in += p.bytes
+        res.rows += p.records
+        res.snapshots.append(snap.snapshot_id)
+        completed += 1
+    res.seconds = time.monotonic() - t0
+    return res
+
+
+def full_maintenance(
+    spark: SparkSession,
+    table: LakeTable,
+    ledger: Ledger | None = None,
+    cluster_by: str | None = "zorder",
+    target_file_size: int = TARGET_FILE_SIZE,
+    expire_older_than_ms: int | None = None,
+    retain_last: int = 3,
+) -> dict:
+    """The optimize_tables analog: compact + cluster, merge manifests,
+    expire snapshots, GC orphans. Per-table errors are NOT swallowed (unlike
+    the reference) — a maintenance engine must fail loudly."""
+    plan = plan_compaction(table, target_file_size=target_file_size)
+    rewrite = rewrite_partitions(
+        spark, table, plan, ledger=ledger, op="compact", cluster_by=cluster_by,
+        target_file_size=target_file_size,
+    )
+    manifest_snap = table.rewrite_manifests()
+    expired = table.expire_snapshots(older_than_ms=expire_older_than_ms, retain_last=retain_last)
+    orphans = table.remove_orphan_files()
+    return {
+        "rewrite": rewrite,
+        "manifest_snapshot": manifest_snap.snapshot_id if manifest_snap else None,
+        "expired_snapshots": len(expired),
+        "orphans_removed": len(orphans),
+    }

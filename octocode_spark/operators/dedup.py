@@ -1,0 +1,239 @@
+"""Deduplication operators for training-data pipelines over `documents`.
+
+Five tiers, each a declarative DataFrame composition:
+
+- exact            — hash-groupBy on the canonical fingerprint (A5/U1).
+- ngram_jaccard    — shingle sets + explode/join/agg pairwise Jaccard.
+- minhash_lsh      — shingle→minhash(64 perms)→band→bucket-join candidate
+                     pairs; verify with exact Jaccard. The scale path: the
+                     cross-product never materializes, only same-bucket pairs.
+- simhash          — 64-bit simhash + hamming-distance candidate filter.
+- embedding cosine — see operators/ann.py (near-dup = cosine > τ).
+
+Determinism: every hash is xxhash64 with fixed literal seeds — same corpus,
+same pairs, any cluster size.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+from octocode_spark.operators.text import fingerprint
+
+
+# ---------------------------------------------------------------- exact
+
+def exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Groups of bitwise-identical (canonicalized) documents:
+    (fingerprint, n_docs, doc_ids) for groups with n_docs > 1."""
+    return (
+        docs.select("doc_id", fingerprint(F.col(text_col)).alias("fingerprint"))
+        .groupBy("fingerprint")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sort_array(F.collect_list("doc_id")).alias("doc_ids"))
+        .filter(F.col("n_docs") > 1)
+    )
+
+
+def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Keep the min-doc_id representative per fingerprint group — the
+    reference's content-hash dedup (src/embedding/mod.rs:229-234) as a
+    min_by aggregate (one shuffle, map-side combinable)."""
+    fp = docs.withColumn("fingerprint", fingerprint(F.col(text_col)))
+    keep = fp.groupBy("fingerprint").agg(F.min("doc_id").alias("doc_id"))
+    return fp.join(keep, ["fingerprint", "doc_id"], "left_semi").drop("fingerprint")
+
+
+# ---------------------------------------------------------------- shingles
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
+             id_col: str = "doc_id") -> DataFrame:
+    """Distinct word n-gram shingle hashes per doc: (doc_id, shingle:long)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    grams = F.transform(
+        F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
+        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
+    )
+    return (
+        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        .distinct()
+    )
+
+
+def ngram_jaccard_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.8,
+    max_shingle_df: int | None = None,
+) -> DataFrame:
+    """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold.
+
+    Shape: |A∩B| via self-join on shingle + pair-count agg; |A∪B| from per-doc
+    sizes. ``max_shingle_df`` drops ultra-common shingles (stopword n-grams)
+    before the self-join — the classic frequency cut that keeps the join from
+    exploding at corpus scale.
+    """
+    sh = shingles(docs, text_col, n)
+    if max_shingle_df:
+        rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
+            F.col("df") <= max_shingle_df
+        )
+        sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a = sh.select(F.col("doc_id").alias("a"), "shingle")
+    b = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        a.join(b, "shingle")
+        .filter(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        inter.join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- minhash + LSH
+
+def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
+                       num_perms: int = 64) -> DataFrame:
+    """(doc_id, sig: array<long>) — minhash via the h_i(x) = xxhash64(x, i)
+    trick (equivalent to random permutations). num_perms hashes computed as
+    one array expression over the exploded shingles, aggregated with
+    array_min semantics via groupBy + min on each position.
+
+    Implementation: explode shingles, compute array of per-perm hashes, then
+    elementwise-min aggregate with F.min over transformed positions using
+    zip_with on array aggregation — expressed as min of each array slot via
+    aggregate over collect_list would shuffle arrays; instead we compute
+    per-perm min with groupBy on (doc, perm) kept implicit: build
+    array[h_0..h_63] per shingle and reduce with a single groupBy(doc_id)
+    using elementwise zip_with(min) through F.reduce-like aggregate.
+    """
+    sh = shingles(docs, text_col, n)
+    per_perm = sh.select(
+        "doc_id",
+        F.array(*[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_perms)]).alias("hs"),
+    )
+    # elementwise min across rows: aggregate(collect) would be wide; use
+    # reduce-style agg: min of each slot via transform over a zipped struct is
+    # not available as an agg, so express as num_perms min() aggs — columnar,
+    # map-side combinable, one shuffle.
+    aggs = [F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_perms)]
+    mins = per_perm.groupBy("doc_id").agg(*aggs)
+    return mins.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(num_perms)]).alias("sig"))
+
+
+def minhash_lsh_pairs(
+    docs: DataFrame, text_col: str = "text", n: int = 3,
+    num_perms: int = 64, bands: int = 16, threshold: float = 0.7,
+) -> DataFrame:
+    """Near-dup pairs via banded LSH: docs sharing ≥1 band bucket become
+    candidates; candidates verified with exact shingle Jaccard ≥ threshold.
+
+    rows/band = num_perms/bands → S-curve midpoint ≈ (1/bands)^(1/rows).
+    """
+    rows_per_band = num_perms // bands
+    sig = minhash_signatures(docs, text_col, n, num_perms)
+    band_cols = F.explode(
+        F.array(*[
+            F.struct(
+                F.lit(b).alias("band"),
+                F.xxhash64(
+                    F.concat_ws(",", *[
+                        F.element_at("sig", b * rows_per_band + r + 1).cast("string")
+                        for r in range(rows_per_band)
+                    ])
+                ).alias("bucket"),
+            )
+            for b in range(bands)
+        ])
+    ).alias("bb")
+    buckets = sig.select("doc_id", band_cols).select(
+        "doc_id", F.col("bb.band").alias("band"), F.col("bb.bucket").alias("bucket")
+    )
+    left = buckets.select(F.col("doc_id").alias("a"), "band", "bucket")
+    right = buckets.select(F.col("doc_id").alias("b"), "band", "bucket")
+    cands = (
+        left.join(right, ["band", "bucket"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b")
+        .distinct()
+    )
+    # verify candidates with exact Jaccard (semi-joined shingle sets only)
+    sh = shingles(docs, text_col, n)
+    ids = cands.select(F.col("a").alias("doc_id")).union(cands.select("b")).distinct()
+    sh = sh.join(ids, "doc_id", "left_semi")
+    sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    ia = sh.select(F.col("doc_id").alias("a"), "shingle")
+    ib = sh.select(F.col("doc_id").alias("b"), "shingle")
+    inter = (
+        cands.join(ia, "a").join(ib, ["b", "shingle"])
+        .groupBy("a", "b").agg(F.count(F.lit(1)).alias("inter"))
+    )
+    return (
+        cands.join(inter, ["a", "b"], "left")
+        .na.fill({"inter": 0})
+        .join(sizes.select(F.col("doc_id").alias("a"), F.col("sz").alias("sz_a")), "a")
+        .join(sizes.select(F.col("doc_id").alias("b"), F.col("sz").alias("sz_b")), "b")
+        .withColumn("jaccard", F.col("inter") / (F.col("sz_a") + F.col("sz_b") - F.col("inter")))
+        .filter(F.col("jaccard") >= threshold)
+        .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------- simhash
+
+def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """64-bit SimHash over word features: sign-sum of feature-hash bits.
+
+    Pure SQL shape: explode words → per-bit ±1 votes via bit tests →
+    64 sum() aggs → reassemble bits. Map-side combinable, one shuffle.
+    """
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    exploded = docs.select("doc_id", F.explode(words).alias("w")).withColumn(
+        "h", F.xxhash64("w")
+    )
+    votes = [
+        F.sum(
+            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+        ).alias(f"v{i}")
+        for i in range(64)
+    ]
+    agg = exploded.groupBy("doc_id").agg(*votes)
+    bit_terms = [
+        F.when(F.col(f"v{i}") > 0, F.lit(1 << i).cast("long")).otherwise(F.lit(0).cast("long"))
+        for i in range(63)  # keep sign bit clear → non-negative long
+    ]
+    out = agg.select("doc_id", sum(bit_terms[1:], bit_terms[0]).alias("simhash"))
+    return out
+
+
+def simhash_near_pairs(docs: DataFrame, text_col: str = "text",
+                       max_hamming: int = 3) -> DataFrame:
+    """Candidate pairs with hamming(simhash_a, simhash_b) ≤ max_hamming,
+    blocked on 16-bit chunks (pigeonhole: ≤3 differing bits ⇒ at least one of
+    4 chunks identical) so the self-join is an equi-join, never a cross."""
+    sh = simhash64(docs, text_col)
+    chunks = sh.select(
+        "doc_id", "simhash",
+        F.explode(F.array(*[
+            F.struct(F.lit(i).alias("chunk"),
+                     F.shiftright("simhash", i * 16).bitwiseAND(F.lit(0xFFFF)).alias("key"))
+            for i in range(4)
+        ])).alias("c"),
+    ).select("doc_id", "simhash", F.col("c.chunk").alias("chunk"), F.col("c.key").alias("key"))
+    a = chunks.select(F.col("doc_id").alias("a"), F.col("simhash").alias("ha"), "chunk", "key")
+    b = chunks.select(F.col("doc_id").alias("b"), F.col("simhash").alias("hb"), "chunk", "key")
+    pairs = (
+        a.join(b, ["chunk", "key"])
+        .filter(F.col("a") < F.col("b"))
+        .select("a", "b", "ha", "hb")
+        .distinct()
+        .withColumn("hamming", F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))))
+        .filter(F.col("hamming") <= max_hamming)
+        .select("a", "b", "hamming")
+    )
+    return pairs

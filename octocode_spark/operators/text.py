@@ -1,0 +1,107 @@
+"""Text analysis for training-data pipelines over the `documents` table:
+language-ID heuristic, quality scoring, token counting, fingerprinting.
+
+All pure `pyspark.sql.functions` expressions (whole-stage codegen; zero
+Python in the hot path). Content-hash fingerprints mirror the reference's
+SHA-256 dedup keys (src/embedding/mod.rs:203-234).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+# tiny per-language stopword marker sets for the n-gram/stopword heuristic
+_LANG_MARKERS = {
+    "en": ["the", "and", "of", "to", "in"],
+    "de": ["der", "die", "und", "das", "nicht"],
+    "fr": ["le", "la", "et", "les", "des"],
+    "es": ["el", "los", "que", "una", "por"],
+}
+
+
+def word_count(text: Column) -> Column:
+    """Whitespace token count (0 for empty/blank strings)."""
+    t = F.trim(text)
+    return F.when(F.length(t) == 0, F.lit(0)).otherwise(
+        F.size(F.split(t, r"\s+"))
+    )
+
+
+def bpe_ish_token_count(text: Column) -> Column:
+    """BPE-flavored token estimate: count word-pieces + digits + punctuation
+    via a GPT-2-style pre-tokenizer regex (contractions, letter runs, digit
+    runs, punctuation runs)."""
+    pattern = r"'(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\s]+"
+    return F.size(F.regexp_extract_all(text, F.lit(pattern), 0))
+
+
+def punct_ratio(text: Column) -> Column:
+    stripped = F.regexp_replace(text, r"[^.,;:!?'\"()\[\]{}]", "")
+    return F.when(F.length(text) == 0, F.lit(0.0)).otherwise(
+        F.length(stripped) / F.length(text)
+    )
+
+
+def stopword_ratio(text: Column, lang: str = "en") -> Column:
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    stops = F.filter(words, lambda w: w.isin(_LANG_MARKERS[lang]))
+    return F.when(F.size(words) == 0, F.lit(0.0)).otherwise(
+        F.size(stops) / F.size(words)
+    )
+
+
+def quality_score(text: Column) -> Column:
+    """[0,1] heuristic: rewards healthy length, English stopword presence,
+    moderate punctuation — the shape of C4/Gopher-style quality filters."""
+    wc = word_count(text).cast("double")
+    len_term = F.least(wc / F.lit(100.0), F.lit(1.0))
+    stop_term = F.least(stopword_ratio(text) * F.lit(5.0), F.lit(1.0))
+    punct_pen = F.greatest(F.lit(0.0), F.lit(1.0) - punct_ratio(text) * F.lit(4.0))
+    return (len_term * F.lit(0.4) + stop_term * F.lit(0.4) + punct_pen * F.lit(0.2))
+
+
+def detect_lang(text: Column) -> Column:
+    """Marker-word vote over the stopword sets; 'und' (undetermined) when no
+    marker hits. A deliberately simple n-gram-free heuristic — deterministic
+    and SQL-expressible for the oracle."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    scores = {
+        lang: F.size(F.filter(words, lambda w: w.isin(markers)))
+        for lang, markers in _LANG_MARKERS.items()
+    }
+    best_score = F.greatest(*scores.values())
+    result = F.lit("und")
+    # deterministic precedence order on ties: en > de > fr > es
+    for lang in ("es", "fr", "de", "en"):
+        result = F.when(
+            (scores[lang] > 0) & (scores[lang] == best_score), F.lit(lang)
+        ).otherwise(result)
+    return result
+
+
+def fingerprint(text: Column) -> Column:
+    """Document fingerprint: sha2-256 of NFC-ish canonicalized text
+    (lowercase, collapsed whitespace) — the exact-dedup key."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.sha2(canon, 256)
+
+
+def rolling_hash64(text: Column) -> Column:
+    """64-bit rolling-style content hash (xxhash64 of the canonical form)."""
+    canon = F.regexp_replace(F.lower(F.trim(text)), r"\s+", " ")
+    return F.xxhash64(canon)
+
+
+def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    t = F.col(text_col)
+    return docs.select(
+        "doc_id",
+        word_count(t).alias("n_words"),
+        bpe_ish_token_count(t).alias("n_tokens_bpe"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(quality_score(t), 4).alias("quality"),
+        detect_lang(t).alias("lang_detected"),
+        fingerprint(t).alias("fingerprint"),
+    )

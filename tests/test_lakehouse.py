@@ -1,0 +1,108 @@
+"""LakeTable format: append/read round-trip, time travel, pruning, commits."""
+
+from __future__ import annotations
+
+import threading
+
+import pytest
+
+from octocode_spark.datagen import sequences
+from octocode_spark.functions.digest import table_digest
+from octocode_spark.lakehouse import CommitConflict, LakeTable
+from octocode_spark.lakehouse.table import stat_range_filter
+from tests.conftest import make_sequences_table
+
+
+def test_append_read_roundtrip_digest(spark, tmp_table_dir):
+    df = sequences(spark, 1000, max_tok_cap=128)
+    t = LakeTable.create(tmp_table_dir, df.schema, partition_by=["source"], stat_cols=["n_tok", "doc_id"])
+    t.append(df)
+    assert table_digest(t.read(spark)) == table_digest(df)
+
+
+def test_time_travel_pins_old_snapshot(spark, tmp_table_dir):
+    df = sequences(spark, 500, max_tok_cap=128)
+    t = LakeTable.create(tmp_table_dir, df.schema, partition_by=["source"], stat_cols=["n_tok"])
+    s1 = t.append(df)
+    d1 = table_digest(t.read(spark))
+    t.append(sequences(spark, 100, max_tok_cap=128).limit(50))
+    assert t.read(spark).count() == 550
+    # reader pinned to s1 sees the old data exactly
+    assert table_digest(t.read(spark, snapshot_id=s1.snapshot_id)) == d1
+
+
+def test_partition_pruning_uses_manifests_only(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=2000)
+    files = t.files(partition_filter={"source": "github"})
+    assert files and all(f.partition == {"source": "github"} for f in files)
+    manifest_count = sum(f.records for f in files)
+    assert manifest_count == t.read(spark).filter("source = 'github'").count()
+
+
+def test_stat_filter_skips_files(spark, tmp_table_dir):
+    df = sequences(spark, 2000, max_tok_cap=256)
+    t = LakeTable.create(tmp_table_dir, df.schema, partition_by=[], stat_cols=["n_tok"])
+    # two appends with disjoint n_tok ranges → min/max must separate them
+    t.append(df.filter("n_tok < 100"))
+    t.append(df.filter("n_tok >= 100"))
+    low = t.files(stat_filter=stat_range_filter("n_tok", hi=99))
+    high = t.files(stat_filter=stat_range_filter("n_tok", lo=100))
+    assert low and high
+    assert {f.path for f in low}.isdisjoint({f.path for f in high})
+    assert sum(f.records for f in low) == df.filter("n_tok < 100").count()
+
+
+def test_concurrent_appends_both_commit(spark, tmp_table_dir):
+    df = sequences(spark, 400, max_tok_cap=64)
+    t = LakeTable.create(tmp_table_dir, df.schema, partition_by=["source"], stat_cols=[])
+    a, b = LakeTable.load(tmp_table_dir), LakeTable.load(tmp_table_dir)
+    pre_a = a._write_datafiles(df.filter("n_tok % 2 = 0"))
+    pre_b = b._write_datafiles(df.filter("n_tok % 2 = 1"))
+    errs = []
+
+    def commit(handle, files):
+        try:
+            handle._commit("append", added=files, replaced=[])
+        except Exception as e:  # noqa: BLE001
+            errs.append(e)
+
+    th = [threading.Thread(target=commit, args=(a, pre_a)), threading.Thread(target=commit, args=(b, pre_b))]
+    [x.start() for x in th]
+    [x.join() for x in th]
+    assert not errs
+    t.refresh()
+    assert t.read(spark).count() == df.count()
+    assert len(t.meta.snapshots) == 2  # both commits landed as distinct snapshots
+
+
+def test_replace_conflict_detected(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=500, small_files=4)
+    f0 = t.files()[0]
+    # another writer rewrites f0 first
+    other = LakeTable.load(tmp_table_dir)
+    replacement = other._write_datafiles(other.read_files(spark, [f0]))
+    other.replace_files([f0.path], replacement)
+    # our replace of the same file must now fail loudly
+    mine = t._write_datafiles(t.read_files(spark, [f0]))
+    with pytest.raises(CommitConflict):
+        t.replace_files([f0.path], mine)
+
+
+def test_expire_and_orphan_gc_preserve_current(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=800, small_files=8, max_tok_cap=64)
+    d = table_digest(t.read(spark))
+    # rows 800..849 of the deterministic generator: disjoint from the first 800
+    extra = sequences(spark, 850, max_tok_cap=64).filter(
+        "cast(substring(doc_id, -12, 12) as long) >= 800"
+    )
+    t.append(extra)
+    t.overwrite_all(t.read(spark))  # churn: makes old files unreferenced-by-current
+    expired = t.expire_snapshots(retain_last=1)
+    assert expired
+    orphans = t.remove_orphan_files()
+    assert orphans
+    # current snapshot fully readable after GC; original 800 rows intact
+    cur = t.read(spark)
+    assert cur.count() == 850
+    orig = cur.join(sequences(spark, 800, max_tok_cap=64).select("doc_id"), "doc_id", "left_semi")
+    assert table_digest(orig) == d

@@ -1,0 +1,86 @@
+"""Unit tests for the Z-order / Hilbert bit-interleave kernels.
+
+Mirrors the reference's formula-style unit tests
+(src/store/vector_optimizer.rs:261-345): known vectors + invariants.
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from octocode_spark.functions.zorder import (
+    hilbert_index3,
+    morton_interleave3,
+    with_cluster_key,
+)
+
+
+def _arr(*vals):
+    return np.array(vals, dtype=np.uint64)
+
+
+def test_morton_known_vectors():
+    # dim a at bit 0, b at bit 1, c at bit 2 of each triple
+    assert morton_interleave3(_arr(1), _arr(0), _arr(0))[0] == 1
+    assert morton_interleave3(_arr(0), _arr(1), _arr(0))[0] == 2
+    assert morton_interleave3(_arr(0), _arr(0), _arr(1))[0] == 4
+    assert morton_interleave3(_arr(3), _arr(3), _arr(3))[0] == 0b111111
+    assert morton_interleave3(_arr(2), _arr(0), _arr(0))[0] == 0b001000
+    # 21-bit max stays under 2^63
+    m = morton_interleave3(_arr((1 << 21) - 1), _arr((1 << 21) - 1), _arr((1 << 21) - 1))[0]
+    assert m == (1 << 63) - 1
+
+
+def test_morton_interleaving_locality():
+    # changing the lowest bit of one dim changes the key by < one step of the
+    # next dim's lowest bit
+    base = morton_interleave3(_arr(4), _arr(4), _arr(4))[0]
+    bump_a = morton_interleave3(_arr(5), _arr(4), _arr(4))[0]
+    bump_c = morton_interleave3(_arr(4), _arr(4), _arr(5))[0]
+    assert bump_a - base == 1
+    assert bump_c - base == 4
+
+
+def test_hilbert_is_bijective_on_small_grid():
+    bits = 3
+    n = 1 << bits
+    aa, bb, cc = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
+    idx = hilbert_index3(
+        aa.ravel().astype(np.uint64),
+        bb.ravel().astype(np.uint64),
+        cc.ravel().astype(np.uint64),
+        bits=bits,
+    )
+    assert len(np.unique(idx)) == n**3
+    assert idx.min() == 0
+    assert idx.max() == n**3 - 1
+
+
+def test_hilbert_consecutive_cells_are_grid_neighbors():
+    """The defining Hilbert property: consecutive curve positions differ by
+    exactly 1 in exactly one coordinate."""
+    bits = 3
+    n = 1 << bits
+    aa, bb, cc = np.meshgrid(np.arange(n), np.arange(n), np.arange(n), indexing="ij")
+    coords = np.stack([aa.ravel(), bb.ravel(), cc.ravel()], axis=1).astype(np.int64)
+    idx = hilbert_index3(
+        coords[:, 0].astype(np.uint64),
+        coords[:, 1].astype(np.uint64),
+        coords[:, 2].astype(np.uint64),
+        bits=bits,
+    )
+    order = np.argsort(idx)
+    walk = coords[order]
+    steps = np.abs(np.diff(walk, axis=0))
+    assert (steps.sum(axis=1) == 1).all()
+
+
+def test_cluster_key_deterministic_in_spark(spark):
+    from octocode_spark.datagen import sequences
+
+    df = sequences(spark, 200, max_tok_cap=128)
+    k1 = with_cluster_key(df, "zorder").select("doc_id", "_zkey").orderBy("doc_id").collect()
+    k2 = with_cluster_key(df, "zorder").select("doc_id", "_zkey").orderBy("doc_id").collect()
+    assert k1 == k2
+    h1 = with_cluster_key(df, "hilbert").select("_zkey").collect()
+    assert all(r["_zkey"] >= 0 for r in h1)
