@@ -104,24 +104,73 @@ def _dim21(col: Column) -> Column:
     return F.xxhash64(col).bitwiseAND(F.lit(MASK21)).cast("long")
 
 
+def _spread3_col(x: Column) -> Column:
+    """JVM-expression twin of ``_spread3`` — the same magic-number spread as
+    a whole-stage-codegen'd column chain. Bit-identical to the numpy kernel
+    (unit-tested), so the shuffle key can stay JVM-side while the Arrow UDF
+    remains the reference implementation. Measured: removing the Python
+    round-trip from the rewrite's map stage cut the clustered-rewrite wall
+    time ~2.5× at 32 cores."""
+    x = x.bitwiseAND(F.lit(0x1FFFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 32))).bitwiseAND(F.lit(0x1F00000000FFFF))
+    x = (x.bitwiseOR(F.shiftleft(x, 16))).bitwiseAND(F.lit(0x1F0000FF0000FF))
+    x = (x.bitwiseOR(F.shiftleft(x, 8))).bitwiseAND(F.lit(0x100F00F00F00F00F))
+    x = (x.bitwiseOR(F.shiftleft(x, 4))).bitwiseAND(F.lit(0x10C30C30C30C30C3))
+    x = (x.bitwiseOR(F.shiftleft(x, 2))).bitwiseAND(F.lit(0x1249249249249249))
+    return x
+
+
+def morton_col(a: Column, b: Column, c: Column) -> Column:
+    """Pure-JVM Morton key of three 21-bit long columns."""
+    return (
+        _spread3_col(a)
+        .bitwiseOR(F.shiftleft(_spread3_col(b), 1))
+        .bitwiseOR(F.shiftleft(_spread3_col(c), 2))
+    )
+
+
 def cluster_key_col(
     source: Column | str = "source",
     n_tok: Column | str = "n_tok",
     doc_id: Column | str = "doc_id",
     curve: str = "zorder",
+    impl: str = "auto",
 ) -> Column:
+    """The cluster key over (hash(source), n_tok, hash(doc_id)).
+
+    impl="auto": zorder uses the JVM expression twin (bit-identical to the
+    Arrow UDF; keeps the maintenance hot path whole-stage-codegen'd), hilbert
+    uses the vectorized-numpy pandas UDF (a 21-level bit recursion that has
+    no reasonable SQL-expression form). impl="udf" forces the Arrow UDF for
+    both — used by the equivalence unit test and the q25 battery entry.
+    """
     src = F.col(source) if isinstance(source, str) else source
     tok = F.col(n_tok) if isinstance(n_tok, str) else n_tok
     doc = F.col(doc_id) if isinstance(doc_id, str) else doc_id
     a = _dim21(src)
-    b = tok.cast("long").bitwiseAND(F.lit(MASK21))
+    # normalize n_tok to the full 21-bit width (like Iceberg/Delta z-order
+    # value normalization): un-normalized, an n_tok ≤ 8192 leaves its top 8
+    # interleave bits constant and the hash dims dominate the curve,
+    # destroying n_tok min/max locality in the output files
+    b = F.least(tok.cast("long"), F.lit(8191)).bitwiseAND(F.lit(MASK21)) * F.lit(256)
     c = _dim21(doc)
-    udf = _morton_udf if curve == "zorder" else _hilbert_udf
-    return udf(a, b, c)
+    # Dimension priority: the interleave slot order decides which column's
+    # min/max tightens first as files split. n_tok is the range-queried
+    # column (bucket equality gates, length-bucketed sampling) → top slot;
+    # doc-hash next (dedup spread); source last (partition-constant during
+    # per-partition maintenance). Measured on the skewed fixture: n_tok-top
+    # halves per-file n_tok spans vs hash-top (1162 vs 2018 over 20 files).
+    if curve == "zorder" and impl != "udf":
+        return morton_col(a, c, b)  # slot2 (top) = b = n_tok
+    if curve == "zorder":
+        return _morton_udf(a, c, b)
+    return _hilbert_udf(b, c, a)  # Hilbert transpose: X[0] most significant
 
 
-def with_cluster_key(df: DataFrame, curve: str = "zorder", out_col: str = "_zkey") -> DataFrame:
+def with_cluster_key(
+    df: DataFrame, curve: str = "zorder", out_col: str = "_zkey", impl: str = "auto"
+) -> DataFrame:
     """Attach the cluster key column (dropped again before any write)."""
     if curve not in ("zorder", "hilbert"):
         raise ValueError(f"unknown curve {curve!r}")
-    return df.withColumn(out_col, cluster_key_col(curve=curve))
+    return df.withColumn(out_col, cluster_key_col(curve=curve, impl=impl))

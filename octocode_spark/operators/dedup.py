@@ -47,12 +47,17 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
 # ---------------------------------------------------------------- shingles
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
-             id_col: str = "doc_id") -> DataFrame:
-    """Distinct word n-gram shingle hashes per doc: (doc_id, shingle:long)."""
+             id_col: str = "doc_id", hash_shingles: bool = True) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    hash_shingles=True gives 8-byte xxhash64 shingles (the scale path: 10×
+    narrower shuffle than raw trigram strings); False keeps raw strings
+    (oracle-comparable in any SQL engine)."""
     words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    gram = lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))  # noqa: E731
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
-        lambda i: F.xxhash64(F.concat_ws(" ", F.slice(words, i + 1, n))),
+        (lambda i: F.xxhash64(gram(i))) if hash_shingles else gram,
     )
     return (
         docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
@@ -62,7 +67,7 @@ def shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
 
 def ngram_jaccard_pairs(
     docs: DataFrame, text_col: str = "text", n: int = 3, threshold: float = 0.8,
-    max_shingle_df: int | None = None,
+    max_shingle_df: int | None = None, hash_shingles: bool = True,
 ) -> DataFrame:
     """All pairs with Jaccard(shingles_a, shingles_b) ≥ threshold.
 
@@ -71,7 +76,7 @@ def ngram_jaccard_pairs(
     before the self-join — the classic frequency cut that keeps the join from
     exploding at corpus scale.
     """
-    sh = shingles(docs, text_col, n)
+    sh = shingles(docs, text_col, n, hash_shingles=hash_shingles)
     if max_shingle_df:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") <= max_shingle_df
@@ -196,11 +201,12 @@ def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:
     exploded = docs.select("doc_id", F.explode(words).alias("w")).withColumn(
         "h", F.xxhash64("w")
     )
+    # shiftright-based bit test: 1<<63 does not fit a signed long literal
     votes = [
         F.sum(
-            F.when(F.col("h").bitwiseAND(F.lit(1 << i)) != 0, 1).otherwise(-1)
+            F.when(F.shiftright("h", i).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
         ).alias(f"v{i}")
-        for i in range(64)
+        for i in range(63)
     ]
     agg = exploded.groupBy("doc_id").agg(*votes)
     bit_terms = [

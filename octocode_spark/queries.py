@@ -1,0 +1,809 @@
+"""The driver-facing query battery: one entry per operator family from
+SURVEY.md §2, each as (Spark callable, DuckDB oracle SQL).
+
+Cross-engine determinism rules (so order-insensitive value hashes match):
+- money/double aggregations go through FLOOR(x * 10^k)::BIGINT cents —
+  IEEE double multiply + floor is bit-identical in both engines, and BIGINT
+  sums are exact, so no accumulation-order nondeterminism can leak out;
+- single divisions/multiplications of the SAME doubles are IEEE-identical;
+- every rank/top-k has a total order (explicit unique-key tie-break);
+- all integer outputs cast to BIGINT on both sides; floats to DOUBLE.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+_QUERIES: dict[str, QueryFn] = {}
+_ORACLES: dict[str, str] = {}
+
+
+def _q(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        _QUERIES[name] = fn
+        if oracle is not None:
+            _ORACLES[name] = oracle
+        return fn
+    return deco
+
+
+def _t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def _cents(col, scale: int):
+    """FLOOR(col·10^scale) as BIGINT — the exact-sum trick (see module doc)."""
+    return F.floor(col * F.lit(float(scale))).cast("long")
+
+
+# =====================================================================
+# Aggregations (SURVEY §2.4 — A1/A2/A7)
+# =====================================================================
+
+@_q(
+    "q01_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) / 100.0 AS sum_qty,
+           SUM(CAST(FLOOR(l_extendedprice * 100.0) AS BIGINT)) / 100.0 AS sum_base_price,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * 10000.0) AS BIGINT)) / 10000.0 AS sum_disc_price,
+           SUM(CAST(FLOOR(l_extendedprice * (1 - l_discount) * (1 + l_tax) * 10000.0) AS BIGINT)) / 10000.0 AS sum_charge,
+           SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT)) / 100.0 / COUNT(*) AS avg_qty,
+           SUM(CAST(FLOOR(l_discount * 10000.0) AS BIGINT)) / 10000.0 / COUNT(*) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def q01(spark: SparkSession, sf: str) -> DataFrame:
+    """TPC-H Q1 shape: partial-agg friendly groupBy with 6 aggregates; the
+    shipdate predicate pushes down to the parquet scan."""
+    li = _t(spark, sf, "lineitem").filter(F.col("l_shipdate") <= F.lit("1998-09-02").cast("timestamp"))
+    cnt = F.count(F.lit(1))
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            (F.sum(_cents(F.col("l_quantity"), 100)) / 100.0).alias("sum_qty"),
+            (F.sum(_cents(F.col("l_extendedprice"), 100)) / 100.0).alias("sum_base_price"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")), 10000)) / 10000.0).alias("sum_disc_price"),
+            (F.sum(_cents(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")), 10000)) / 10000.0).alias("sum_charge"),
+            (F.sum(_cents(F.col("l_quantity"), 100)) / 100.0 / cnt).alias("avg_qty"),
+            (F.sum(_cents(F.col("l_discount"), 10000)) / 10000.0 / cnt).alias("avg_disc"),
+            cnt.alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@_q(
+    "q02_revenue_by_nation",
+    """
+    SELECT n_name,
+           SUM(CAST(FLOOR(o_totalprice * 100.0) AS BIGINT)) / 100.0 AS revenue,
+           COUNT(*) AS n_orders
+    FROM orders JOIN customer ON o_custkey = c_custkey
+                JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY n_name ORDER BY n_name
+    """,
+)
+def q02(spark: SparkSession, sf: str) -> DataFrame:
+    """Broadcast equi-join chain (J2): fact ⋈ broadcast(dim) ⋈ broadcast(dim)."""
+    o = _t(spark, sf, "orders")
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    return (
+        o.join(F.broadcast(c), o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .groupBy("n_name")
+        .agg(
+            (F.sum(_cents(F.col("o_totalprice"), 100)) / 100.0).alias("revenue"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("n_name")
+    )
+
+
+@_q(
+    "q03_customers_without_orders",
+    """
+    SELECT c_nationkey, COUNT(*) AS n_customers
+    FROM customer WHERE NOT EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 400000)
+    GROUP BY c_nationkey ORDER BY c_nationkey
+    """,
+)
+def q03(spark: SparkSession, sf: str) -> DataFrame:
+    """Anti-join (J1 differential shape: stored ∖ new ⇒ deletes)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 400000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_anti")
+        .groupBy("c_nationkey").agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_nationkey")
+    )
+
+
+@_q(
+    "q04_big_spenders_semi",
+    """
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer WHERE EXISTS (
+        SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    GROUP BY c_mktsegment ORDER BY c_mktsegment
+    """,
+)
+def q04(spark: SparkSession, sf: str) -> DataFrame:
+    """Semi-join (J6 hash semi-join on keys)."""
+    c = _t(spark, sf, "customer")
+    o = _t(spark, sf, "orders").filter(F.col("o_totalprice") > 100000)
+    return (
+        c.join(o, c.c_custkey == o.o_custkey, "left_semi")
+        .groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n_customers"))
+        .orderBy("c_mktsegment")
+    )
+
+
+# =====================================================================
+# Sort / top-k / windows (SURVEY §2.5, §2.7)
+# =====================================================================
+
+@_q(
+    "q05_topk_orders",
+    """
+    SELECT o_orderkey, o_totalprice FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey ASC LIMIT 10
+    """,
+)
+def q05(spark: SparkSession, sf: str) -> DataFrame:
+    """Top-k with total order (O1/O2: TakeOrderedAndProject, determinism rule)."""
+    return (
+        _t(spark, sf, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "q06_top3_orders_per_customer",
+    """
+    SELECT o_custkey, o_orderkey, rn FROM (
+        SELECT o_custkey, o_orderkey,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey ASC) AS rn
+        FROM orders) WHERE rn <= 3
+    ORDER BY o_custkey, rn
+    """,
+)
+def q06(spark: SparkSession, sf: str) -> DataFrame:
+    """Rank-within-group window — the reference's rank-within-list made
+    explicit (src/store/weighted_rrf.rs:83-105)."""
+    w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
+    return (
+        _t(spark, sf, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
+        .orderBy("o_custkey", "rn")
+    )
+
+
+@_q(
+    "q07_cumulative_quantity",
+    """
+    SELECT l_orderkey, l_linenumber,
+           SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+             OVER (PARTITION BY l_orderkey
+                   ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty_x100
+    FROM lineitem ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def q07(spark: SparkSession, sf: str) -> DataFrame:
+    """Cumulative window sum — the bin-packing assignment primitive
+    (SURVEY §2.7: cumulative size over zorder-ordered files)."""
+    # (l_orderkey, l_linenumber) is NOT unique in this corpus — the window
+    # order must be total or the running sum is tie-order-nondeterministic
+    w = (
+        Window.partitionBy("l_orderkey")
+        .orderBy("l_linenumber", "l_partkey", "l_suppkey", "l_quantity")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        _t(spark, sf, "lineitem")
+        .select(
+            "l_orderkey",
+            F.col("l_linenumber").cast("long").alias("l_linenumber"),
+            F.sum(_cents(F.col("l_quantity"), 100)).over(w).alias("cum_qty_x100"),
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )
+
+
+# =====================================================================
+# RRF fusion (SURVEY §2.3 J5 + §2.4 A2/A3 + Q4)
+# =====================================================================
+
+@_q(
+    "q08_weighted_rrf_users",
+    """
+    WITH by_value AS (
+        SELECT user_id, ROW_NUMBER() OVER (
+            ORDER BY SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) DESC, user_id ASC) AS r
+        FROM events GROUP BY user_id LIMIT 100
+    ), by_count AS (
+        SELECT user_id, ROW_NUMBER() OVER (
+            ORDER BY COUNT(*) DESC, user_id ASC) AS r
+        FROM events GROUP BY user_id LIMIT 100
+    )
+    SELECT COALESCE(v.user_id, c.user_id) AS id,
+           COALESCE(0.7 / (60 + v.r), 0.0) + COALESCE(0.3 / (60 + c.r), 0.0) AS rrf_score,
+           (CASE WHEN v.user_id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN c.user_id IS NULL THEN 0 ELSE 1 END) AS sources
+    FROM by_value v FULL OUTER JOIN by_count c ON v.user_id = c.user_id
+    ORDER BY rrf_score DESC, id ASC
+    """,
+)
+def q08(spark: SparkSession, sf: str) -> DataFrame:
+    """Weighted RRF fusion of two ranked lists (w/(k+rank), k=60 — the
+    reference's exact formula, src/store/weighted_rrf.rs:24-165), as a
+    window-rank + full-outer merge."""
+    ev = _t(spark, sf, "events")
+    by_value = (
+        ev.groupBy("user_id")
+        .agg(F.sum(_cents(F.col("value"), 10000)).alias("s"))
+        .withColumn("r", F.row_number().over(Window.orderBy(F.col("s").desc(), F.col("user_id").asc())))
+        .limit(100)
+        .select(F.col("user_id").alias("vid"), F.col("r").alias("vr"))
+    )
+    by_count = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .withColumn("r", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("user_id").asc())))
+        .limit(100)
+        .select(F.col("user_id").alias("cid"), F.col("r").alias("cr"))
+    )
+    fused = by_value.join(by_count, by_value.vid == by_count.cid, "full_outer").select(
+        F.coalesce("vid", "cid").alias("id"),
+        (
+            F.coalesce(F.lit(0.7) / (F.lit(60) + F.col("vr")), F.lit(0.0))
+            + F.coalesce(F.lit(0.3) / (F.lit(60) + F.col("cr")), F.lit(0.0))
+        ).alias("rrf_score"),
+        (
+            F.when(F.col("vid").isNull(), 0).otherwise(1)
+            + F.when(F.col("cid").isNull(), 0).otherwise(1)
+        ).cast("long").alias("sources"),
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), F.col("id").asc())
+
+
+# =====================================================================
+# Set ops (SURVEY §2.6)
+# =====================================================================
+
+@_q(
+    "q09_click_and_purchase_users",
+    """
+    SELECT user_id FROM events WHERE event_type = 'click'
+    INTERSECT
+    SELECT user_id FROM events WHERE event_type = 'purchase'
+    ORDER BY user_id
+    """,
+)
+def q09(spark: SparkSession, sf: str) -> DataFrame:
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter("event_type = 'click'").select("user_id")
+        .intersect(ev.filter("event_type = 'purchase'").select("user_id"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q10_new_users_last_period",
+    """
+    SELECT user_id FROM events WHERE event_type = 'signup'
+    EXCEPT
+    SELECT user_id FROM events WHERE event_type = 'error'
+    ORDER BY user_id
+    """,
+)
+def q10(spark: SparkSession, sf: str) -> DataFrame:
+    """Set difference (U2: the stale-hash delete-list shape)."""
+    ev = _t(spark, sf, "events")
+    return (
+        ev.filter("event_type = 'signup'").select("user_id").distinct()
+        .subtract(ev.filter("event_type = 'error'").select("user_id"))
+        .orderBy("user_id")
+    )
+
+
+# =====================================================================
+# Scalar functions + text analysis (SURVEY §2.8; training-data ops)
+# =====================================================================
+
+@_q(
+    "q11_fingerprints",
+    """
+    SELECT doc_id,
+           sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fingerprint,
+           CAST(length(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS BIGINT) AS n_chars_canon
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q11(spark: SparkSession, sf: str) -> DataFrame:
+    """Content-hash fingerprints — the reference's SHA-256 dedup keys
+    (src/embedding/mod.rs:203-234), vectorized sha2, no UDF."""
+    from octocode_spark.operators.text import fingerprint
+
+    d = _t(spark, sf, "documents")
+    canon = F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")
+    return d.select(
+        "doc_id",
+        fingerprint(F.col("text")).alias("fingerprint"),
+        F.length(canon).cast("long").alias("n_chars_canon"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q12_text_quality",
+    """
+    WITH w AS (
+        SELECT doc_id, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_words,
+               CASE WHEN length(text) = 0 THEN 0.0
+                    ELSE length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g'))
+                         / length(text) END AS punct,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                               x -> list_contains(['the','and','of','to','in'], x)))
+                 / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) AS stop
+        FROM documents)
+    SELECT doc_id,
+           CAST(n_words AS BIGINT) AS n_words,
+           ROUND(punct, 4) AS punct_ratio,
+           ROUND(stop, 4) AS stopword_ratio,
+           ROUND(least(n_words / 100.0, 1.0) * 0.4
+                 + least(stop * 5.0, 1.0) * 0.4
+                 + greatest(0.0, 1.0 - punct * 4.0) * 0.2, 4) AS quality
+    FROM w ORDER BY doc_id
+    """,
+)
+def q12(spark: SparkSession, sf: str) -> DataFrame:
+    """Quality scoring for training-data filtering (C4/Gopher-style),
+    whole-stage-codegen expressions only."""
+    from octocode_spark.operators.text import punct_ratio, quality_score, stopword_ratio, word_count
+
+    d = _t(spark, sf, "documents")
+    t = F.col("text")
+    return d.select(
+        "doc_id",
+        word_count(t).cast("long").alias("n_words"),
+        F.round(punct_ratio(t), 4).alias("punct_ratio"),
+        F.round(stopword_ratio(t), 4).alias("stopword_ratio"),
+        F.round(quality_score(t), 4).alias("quality"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q13_langid",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+    s AS (
+        SELECT doc_id,
+               len(list_filter(ws, x -> list_contains(['the','and','of','to','in'], x))) AS en,
+               len(list_filter(ws, x -> list_contains(['der','die','und','das','nicht'], x))) AS de,
+               len(list_filter(ws, x -> list_contains(['le','la','et','les','des'], x))) AS fr,
+               len(list_filter(ws, x -> list_contains(['el','los','que','una','por'], x))) AS es
+        FROM w)
+    SELECT doc_id,
+           CASE WHEN en > 0 AND en >= de AND en >= fr AND en >= es THEN 'en'
+                WHEN de > 0 AND de >= en AND de >= fr AND de >= es THEN 'de'
+                WHEN fr > 0 AND fr >= en AND fr >= de AND fr >= es THEN 'fr'
+                WHEN es > 0 AND es >= en AND es >= de AND es >= fr THEN 'es'
+                ELSE 'und' END AS lang_detected
+    FROM s ORDER BY doc_id
+    """,
+)
+def q13(spark: SparkSession, sf: str) -> DataFrame:
+    """Marker-vote language ID (deterministic tie precedence en>de>fr>es)."""
+    from octocode_spark.operators.text import detect_lang
+
+    d = _t(spark, sf, "documents")
+    return d.select("doc_id", detect_lang(F.col("text")).alias("lang_detected")).orderBy("doc_id")
+
+
+@_q(
+    "q14_bpe_token_count",
+    """
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(text,
+               '''(?:s|t|re|ve|m|ll|d)|[A-Za-z]+|[0-9]+|[^A-Za-z0-9\\s]+')) AS BIGINT)
+             AS n_tokens_bpe
+    FROM documents ORDER BY doc_id
+    """,
+)
+def q14(spark: SparkSession, sf: str) -> DataFrame:
+    """GPT-2-style pre-tokenizer token estimate (token counting op)."""
+    from octocode_spark.operators.text import bpe_ish_token_count
+
+    d = _t(spark, sf, "documents")
+    return d.select(
+        "doc_id", bpe_ish_token_count(F.col("text")).cast("long").alias("n_tokens_bpe")
+    ).orderBy("doc_id")
+
+
+# =====================================================================
+# Dedup (training-data ops)
+# =====================================================================
+
+@_q(
+    "q15_exact_dedup_count",
+    """
+    SELECT CAST(COUNT(DISTINCT regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS BIGINT)
+             AS n_unique_docs,
+           COUNT(*) AS n_docs
+    FROM documents
+    """,
+)
+def q15(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact dedup: surviving representative count == distinct fingerprints."""
+    from octocode_spark.operators.dedup import dedup_exact
+
+    d = _t(spark, sf, "documents")
+    kept = dedup_exact(d).count()
+    total = d.count()
+    return spark.createDataFrame([(kept, total)], "n_unique_docs: bigint, n_docs: bigint")
+
+
+@_q(
+    "q16_ngram_jaccard_pairs",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+        FROM words),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+        FROM grams g1 JOIN grams g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
+        GROUP BY g1.doc_id, g2.doc_id)
+    SELECT a, b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.05
+    ORDER BY a, b
+    """,
+)
+def q16(spark: SparkSession, sf: str) -> DataFrame:
+    """n-gram Jaccard near-dup pairs (explode/join/agg — never a cross join)."""
+    from octocode_spark.operators.dedup import ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    return (
+        ngram_jaccard_pairs(d, n=3, threshold=0.05, hash_shingles=False)
+        .orderBy("a", "b")
+    )
+
+
+# =====================================================================
+# Similarity search (embeddings)
+# =====================================================================
+
+@_q(
+    "q17_cosine_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(list_dot_product(embedding::DOUBLE[], qv)
+                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine
+    FROM embeddings, q
+    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    """,
+)
+def q17(spark: SparkSession, sf: str) -> DataFrame:
+    """Brute-force cosine top-k (ANN baseline; Q1 analog). The plan is
+    TakeOrderedAndProject over one scan — per-partition partial top-k."""
+    from octocode_spark.operators.ann import _dot, _norm
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter("vec_id = 0").select(F.col("embedding").cast("array<double>").alias("qv"))
+    v = F.col("embedding").cast("array<double>")
+    return (
+        e.crossJoin(F.broadcast(q))
+        .select(
+            "vec_id",
+            F.round(_dot(v, F.col("qv")) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .limit(10)
+    )
+
+
+@_q(
+    "q18_centroid_per_label",
+    """
+    SELECT label,
+           COUNT(*) AS n,
+           ROUND(SUM(CAST(FLOOR(embedding[1]::DOUBLE * 1e6) AS BIGINT)) / 1e6 / COUNT(*), 6) AS c0,
+           ROUND(SUM(CAST(FLOOR(embedding[2]::DOUBLE * 1e6) AS BIGINT)) / 1e6 / COUNT(*), 6) AS c1
+    FROM embeddings GROUP BY label ORDER BY label
+    """,
+)
+def q18(spark: SparkSession, sf: str) -> DataFrame:
+    """Per-label centroid coordinates (IVF-style cluster stats over the
+    embedding column; element_at on the array, exact-sum discipline)."""
+    e = _t(spark, sf, "embeddings")
+    c0 = _cents(F.element_at("embedding", 1).cast("double"), 1_000_000)
+    c1 = _cents(F.element_at("embedding", 2).cast("double"), 1_000_000)
+    return (
+        e.groupBy(F.col("label").cast("long").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum(c0) / 1e6 / F.count(F.lit(1)), 6).alias("c0"),
+            F.round(F.sum(c1) / 1e6 / F.count(F.lit(1)), 6).alias("c1"),
+        )
+        .orderBy("label")
+    )
+
+
+# =====================================================================
+# Temporal: as-of join, sessionization, range join
+# =====================================================================
+
+@_q(
+    "q19_asof_last_click_before_purchase",
+    """
+    WITH ev AS (
+        SELECT event_id, user_id, ts, event_type FROM events
+        WHERE event_type IN ('click', 'purchase'))
+    SELECT event_id, user_id,
+           epoch_ms(ts) AS purchase_ts,
+           epoch_ms(last_click) AS click_ts
+    FROM (
+        SELECT *,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS last_click
+        FROM ev)
+    WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def q19(spark: SparkSession, sf: str) -> DataFrame:
+    """As-of join (J7 — absent in the reference, required here): last click
+    at-or-before each purchase per user, as an IGNORE NULLS running last."""
+    ev = _t(spark, sf, "events").filter(F.col("event_type").isin("click", "purchase"))
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").asc(), F.col("event_id").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    last_click = F.last(F.when(F.col("event_type") == "click", F.col("ts")), ignorenulls=True).over(w)
+    return (
+        ev.withColumn("last_click", last_click)
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.unix_millis(F.col("ts").cast("timestamp")).alias("purchase_ts"),
+            F.unix_millis(F.col("last_click").cast("timestamp")).alias("click_ts"),
+        )
+        .orderBy("event_id")
+    )
+
+
+@_q(
+    "q20_sessionization",
+    """
+    WITH g AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                         OR epoch_ms(ts) - epoch_ms(lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800000
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events)
+    SELECT user_id, CAST(SUM(new_session) AS BIGINT) AS n_sessions, COUNT(*) AS n_events
+    FROM g GROUP BY user_id ORDER BY user_id
+    """,
+)
+def q20(spark: SparkSession, sf: str) -> DataFrame:
+    """Sessionization: lag + gap>30min cumsum — the OLAP-pattern window."""
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").asc(), F.col("event_id").asc())
+    ms = F.unix_millis(F.col("ts").cast("timestamp"))
+    prev = F.lag(ms).over(w)
+    new_s = F.when(prev.isNull() | (ms - prev > 1_800_000), 1).otherwise(0)
+    return (
+        _t(spark, sf, "events")
+        .withColumn("new_session", new_s)
+        .groupBy("user_id")
+        .agg(F.sum("new_session").cast("long").alias("n_sessions"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("user_id")
+    )
+
+
+@_q(
+    "q21_events_within_hour_after_purchase",
+    """
+    SELECT p.event_id AS purchase_id,
+           CAST(COUNT(e.event_id) AS BIGINT) AS n_follow
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN events e
+      ON e.user_id = p.user_id AND e.ts > p.ts AND e.ts <= p.ts + INTERVAL 1 HOUR
+    GROUP BY p.event_id ORDER BY p.event_id
+    """,
+)
+def q21(spark: SparkSession, sf: str) -> DataFrame:
+    """Range join (bounded interval; equi-join on user + range predicate, so
+    Catalyst keeps it a hash join with residual filter, never a cross)."""
+    ev = _t(spark, sf, "events")
+    p = ev.filter("event_type = 'purchase'").select(
+        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
+    )
+    e = ev.select(F.col("event_id").alias("eid"), "user_id", "ts")
+    return (
+        p.join(
+            e,
+            (e.user_id == p.pu) & (e.ts > p.pts) & (e.ts <= p.pts + F.expr("INTERVAL 1 HOUR")),
+            "left",
+        )
+        .groupBy("purchase_id")
+        .agg(F.count("eid").alias("n_follow"))
+        .orderBy("purchase_id")
+    )
+
+
+# =====================================================================
+# Grouping sets / rollup, distinct, JSON
+# =====================================================================
+
+@_q(
+    "q22_rollup_doc_counts",
+    """
+    SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source,
+           COUNT(*) AS n_docs,
+           SUM(CAST(n_chars AS BIGINT)) AS total_chars
+    FROM documents GROUP BY ROLLUP(lang, source)
+    ORDER BY lang, source
+    """,
+)
+def q22(spark: SparkSession, sf: str) -> DataFrame:
+    """ROLLUP grouping sets (A7 — absent in the reference, free in Spark)."""
+    return (
+        _t(spark, sf, "documents")
+        .rollup("lang", "source")
+        .agg(F.count(F.lit(1)).alias("n_docs"), F.sum(F.col("n_chars").cast("long")).alias("total_chars"))
+        .select(
+            F.coalesce("lang", F.lit("<all>")).alias("lang"),
+            F.coalesce("source", F.lit("<all>")).alias("source"),
+            "n_docs",
+            "total_chars",
+        )
+        .orderBy("lang", "source")
+    )
+
+
+@_q(
+    "q23_distinct_users_per_type",
+    """
+    SELECT event_type, CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users, COUNT(*) AS n_events
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q23(spark: SparkSession, sf: str) -> DataFrame:
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(F.countDistinct("user_id").alias("n_users"), F.count(F.lit(1)).alias("n_events"))
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q24_json_extract_stats",
+    """
+    SELECT CAST(json_extract(props, '$.k') AS BIGINT) % 10 AS k_mod,
+           COUNT(*) AS n
+    FROM events GROUP BY 1 ORDER BY k_mod
+    """,
+)
+def q24(spark: SparkSession, sf: str) -> DataFrame:
+    """JSON decode (the reference JSON-encodes nested lists,
+    src/store/batch_converter.rs:146-149; we parse, never re-encode)."""
+    return (
+        _t(spark, sf, "events")
+        .select((F.get_json_object("props", "$.k").cast("long") % 10).alias("k_mod"))
+        .groupBy("k_mod")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .orderBy("k_mod")
+    )
+
+
+# =====================================================================
+# Rows-only queries (non-SQL-expressible: xxhash64 / pandas UDF / stubs)
+# =====================================================================
+
+@_q("q25_cluster_keys")  # no oracle: xxhash64 + pandas UDF not in DuckDB
+def q25(spark: SparkSession, sf: str) -> DataFrame:
+    """Z-order + Hilbert keys over a deterministic sequences sample — the
+    clustering kernel the maintenance engine sorts by."""
+    from octocode_spark.datagen import sequences
+    from octocode_spark.functions.zorder import cluster_key_col
+
+    df = sequences(spark, 500, max_tok_cap=128)
+    return df.select(
+        "doc_id",
+        "source",
+        "n_tok",
+        cluster_key_col(curve="zorder").alias("zorder_key"),
+        cluster_key_col(curve="hilbert").alias("hilbert_key"),
+    ).orderBy("doc_id")
+
+
+@_q("q26_minhash_signatures")  # no oracle: xxhash64 permutation hashes
+def q26(spark: SparkSession, sf: str) -> DataFrame:
+    from octocode_spark.operators.dedup import minhash_signatures
+
+    d = _t(spark, sf, "documents")
+    sig = minhash_signatures(d, num_perms=16)
+    return sig.select(
+        "doc_id",
+        F.element_at("sig", 1).alias("sig0"),
+        F.element_at("sig", 2).alias("sig1"),
+        F.element_at("sig", 16).alias("sig15"),
+    ).orderBy("doc_id")
+
+
+@_q("q27_simhash_values")  # no oracle: xxhash64 feature hashes
+def q27(spark: SparkSession, sf: str) -> DataFrame:
+    from octocode_spark.operators.dedup import simhash64
+
+    return simhash64(_t(spark, sf, "documents")).orderBy("doc_id")
+
+
+@_q("q28_minhash_lsh_pairs")  # no oracle: banded xxhash64 buckets
+def q28(spark: SparkSession, sf: str) -> DataFrame:
+    from octocode_spark.operators.dedup import minhash_lsh_pairs
+
+    return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.3).orderBy("a", "b")
+
+
+@_q("q29_multimodal_features")  # no oracle: mapInPandas stub decode
+def q29(spark: SparkSession, sf: str) -> DataFrame:
+    from octocode_spark.operators.multimodal import extract_features, synthetic_media
+
+    feats = extract_features(synthetic_media(spark, 120))
+    return feats.select(
+        "media_id",
+        "kind",
+        "n_bytes",
+        F.round(F.element_at("features", 1).cast("double"), 5).alias("f0"),
+        F.round(F.element_at("features", 2).cast("double"), 5).alias("f1"),
+    ).orderBy("media_id")
+
+
+@_q("q30_embedding_near_pairs")  # no oracle: xxhash64 hyperplane LSH
+def q30(spark: SparkSession, sf: str) -> DataFrame:
+    from octocode_spark.operators.ann import cosine_near_pairs
+
+    return cosine_near_pairs(_t(spark, sf, "embeddings"), threshold=0.3, num_planes=4).orderBy("a", "b")
+
+
+def queries() -> dict[str, QueryFn]:
+    return dict(_QUERIES)
+
+
+def oracle_sql() -> dict[str, str]:
+    return dict(_ORACLES)

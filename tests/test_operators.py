@@ -1,0 +1,166 @@
+"""Operator-correctness tests: dedup tiers, similarity, text analysis, RRF,
+multimodal plumbing — independent small-fixture oracles (the driver's
+DuckDB gate covers the big battery; these pin semantics on crafted inputs).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+DOCS = [
+    (1, "the quick brown fox jumps over the lazy dog"),
+    (2, "the quick brown fox jumps over the lazy dog"),          # exact dup of 1
+    (3, "the quick brown fox jumped over the lazy dog"),         # near dup
+    (4, "completely different text about spark and parquet files"),
+    (5, "  The  QUICK   brown fox jumps over the lazy dog  "),   # canonical dup of 1
+    (6, "der hund und die katze und das haus und nicht mehr"),   # German-ish
+]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.createDataFrame(DOCS, "doc_id: long, text: string").cache()
+
+
+def test_exact_dedup_canonicalizes(spark, docs):
+    from octocode_spark.operators.dedup import dedup_exact, exact_duplicates
+
+    groups = exact_duplicates(docs).collect()
+    assert len(groups) == 1
+    assert groups[0]["doc_ids"] == [1, 2, 5]
+    kept = dedup_exact(docs)
+    assert kept.count() == 4  # 1 (min id of the trio), 3, 4, 6
+    assert {r["doc_id"] for r in kept.collect()} == {1, 3, 4, 6}
+
+
+def test_ngram_jaccard_finds_near_dup(spark, docs):
+    from octocode_spark.operators.dedup import ngram_jaccard_pairs
+
+    pairs = {(r["a"], r["b"]): r["jaccard"] for r in ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert (1, 2) in pairs and pairs[(1, 2)] == 1.0
+    assert (1, 5) in pairs and pairs[(1, 5)] == 1.0
+    assert (1, 3) in pairs and 0.3 <= pairs[(1, 3)] < 1.0
+    assert all(a != 4 and b != 4 for a, b in pairs)
+
+
+def test_minhash_lsh_agrees_with_exact_jaccard(spark, docs):
+    from octocode_spark.operators.dedup import minhash_lsh_pairs
+
+    pairs = {(r["a"], r["b"]) for r in minhash_lsh_pairs(docs, threshold=0.5).collect()}
+    assert (1, 2) in pairs and (1, 5) in pairs and (2, 5) in pairs
+    assert all(4 not in p for p in pairs)
+
+
+def test_simhash_identical_docs_same_hash(spark, docs):
+    from octocode_spark.operators.dedup import simhash64, simhash_near_pairs
+
+    h = {r["doc_id"]: r["simhash"] for r in simhash64(docs).collect()}
+    assert h[1] == h[2]
+    assert all(v >= 0 for v in h.values())
+    near = {(r["a"], r["b"]): r["hamming"] for r in simhash_near_pairs(docs, max_hamming=6).collect()}
+    assert near[(1, 2)] == 0
+    assert (1, 4) not in near
+
+
+def test_brute_force_topk_self_is_best(spark):
+    from octocode_spark.operators.ann import brute_force_topk
+
+    vecs = spark.createDataFrame(
+        [(1, [1.0, 0.0, 0.0]), (2, [0.9, 0.1, 0.0]), (3, [0.0, 1.0, 0.0]), (4, [-1.0, 0.0, 0.0])],
+        "vec_id: long, embedding: array<double>",
+    )
+    top = brute_force_topk(vecs, [1.0, 0.0, 0.0], k=2).collect()
+    assert [r["vec_id"] for r in top] == [1, 2]
+    assert top[0]["cosine"] == 1.0
+
+
+def test_lsh_topk_matches_brute_force_on_clustered_data(spark):
+    from octocode_spark.operators.ann import brute_force_topk, lsh_topk
+
+    import numpy as np
+
+    rng = np.random.RandomState(7)
+    base = rng.randn(3, 8)
+    rows = []
+    vid = 0
+    for c in range(3):
+        for _ in range(30):
+            v = base[c] + rng.randn(8) * 0.05
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").cache()
+    q = [float(x) for x in base[0]]
+    exact = [r["vec_id"] for r in brute_force_topk(vecs, q, k=5).collect()]
+    approx = [r["vec_id"] for r in lsh_topk(vecs, q, k=5, num_planes=8, probe_hamming=2).collect()]
+    # LSH must recover most of the true top-5 from the same cluster
+    assert len(set(exact) & set(approx)) >= 3
+
+
+def test_text_analysis_values(spark, docs):
+    from octocode_spark.operators.text import analyze_documents
+
+    out = {r["doc_id"]: r for r in analyze_documents(docs).collect()}
+    assert out[1]["n_words"] == 9
+    assert out[5]["n_words"] == 9  # whitespace canonicalization
+    assert out[1]["fingerprint"] == out[2]["fingerprint"] == out[5]["fingerprint"]
+    assert out[1]["lang_detected"] == "en"
+    assert out[6]["lang_detected"] == "de"
+    assert 0.0 <= out[4]["quality"] <= 1.0
+
+
+def test_weighted_rrf_fuses_and_orders(spark):
+    from octocode_spark.operators.rrf import weighted_rrf
+
+    l1 = spark.createDataFrame([(1, 0.9), (2, 0.8), (3, 0.7)], "id: long, score: double")
+    l2 = spark.createDataFrame([(3, 10.0), (4, 9.0)], "id: long, n: double")
+    fused = weighted_rrf([(l1, 0.7, "score", False), (l2, 0.3, "n", False)]).collect()
+    by_id = {r["id"]: r for r in fused}
+    assert by_id[3]["sources"] == 2
+    # id=3: 0.7/(60+3) + 0.3/(60+1) beats id=1: 0.7/(60+1)
+    assert fused[0]["id"] == 3
+    assert abs(by_id[3]["rrf_score"] - (0.7 / 63 + 0.3 / 61)) < 1e-12
+
+
+def test_multimodal_plumbing(spark):
+    from octocode_spark.operators.multimodal import (
+        extract_features,
+        frame_sample_plan,
+        synthetic_media,
+        FEATURE_DIM,
+    )
+
+    media = synthetic_media(spark, 30).cache()
+    feats = extract_features(media).collect()
+    assert len(feats) == 30
+    assert all(len(r["features"]) == FEATURE_DIM for r in feats)
+    assert all(r["n_bytes"] > 0 for r in feats)
+    # determinism across runs
+    feats2 = extract_features(media).collect()
+    assert sorted(map(str, feats)) == sorted(map(str, feats2))
+    plan = frame_sample_plan(media, every_n=10).collect()
+    assert plan and all(r["frame_idx"] % 10 == 0 for r in plan)
+
+
+def test_streaming_continuous_merge(spark, tmp_path):
+    from octocode_spark.datagen import sequence_updates, sequences
+    from octocode_spark.functions.digest import table_digest
+    from octocode_spark.lakehouse import LakeTable
+    from octocode_spark.streaming.continuous import continuous_merge
+
+    base = sequences(spark, 400, max_tok_cap=64)
+    root = str(tmp_path / "tbl")
+    t = LakeTable.create(root, base.schema, partition_by=["source"], stat_cols=["n_tok", "doc_id"])
+    t.append(base)
+    updates = sequence_updates(spark, 400, 120, max_tok_cap=64)
+    landing = str(tmp_path / "landing")
+    updates.repartition(3).write.parquet(landing)
+
+    q = continuous_merge(spark, root, landing, str(tmp_path / "ckpt"))
+    q.awaitTermination(120)
+
+    expected = (
+        base.join(updates.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(updates.filter("not deleted").drop("deleted"))
+    )
+    assert table_digest(LakeTable.load(root).read(spark)) == table_digest(expected)

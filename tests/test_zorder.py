@@ -75,6 +75,21 @@ def test_hilbert_consecutive_cells_are_grid_neighbors():
     assert (steps.sum(axis=1) == 1).all()
 
 
+def test_jvm_morton_equals_arrow_udf(spark):
+    """The whole-stage-codegen Morton expression must be bit-identical to the
+    vectorized-numpy Arrow UDF (the reference implementation)."""
+    from octocode_spark.datagen import sequences
+
+    df = sequences(spark, 2000, max_tok_cap=8192)
+    from octocode_spark.functions.zorder import cluster_key_col
+
+    cmp = df.select(
+        cluster_key_col(curve="zorder", impl="auto").alias("jvm"),
+        cluster_key_col(curve="zorder", impl="udf").alias("udf"),
+    )
+    assert cmp.filter("jvm != udf").count() == 0
+
+
 def test_cluster_key_deterministic_in_spark(spark):
     from octocode_spark.datagen import sequences
 
