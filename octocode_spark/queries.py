@@ -732,6 +732,203 @@ def q24(spark: SparkSession, sf: str) -> DataFrame:
 
 
 # =====================================================================
+# Graph traversal, min_by, percentile, pivot, chunking, streaming
+# =====================================================================
+
+@_q(
+    "q31_graph_khop",
+    """
+    WITH seeds AS (
+        SELECT 'c:' || c_custkey AS id, 0 AS hops FROM customer WHERE c_custkey < 10),
+    h1 AS (
+        SELECT DISTINCT 'n:' || c_nationkey AS id, 1 AS hops
+        FROM customer WHERE c_custkey < 10),
+    h2 AS (
+        SELECT DISTINCT 'r:' || n_regionkey AS id, 2 AS hops
+        FROM nation JOIN customer ON c_nationkey = n_nationkey
+        WHERE c_custkey < 10)
+    SELECT id, CAST(hops AS BIGINT) AS hops FROM seeds
+    UNION ALL SELECT id, CAST(hops AS BIGINT) FROM h1
+    UNION ALL SELECT id, CAST(hops AS BIGINT) FROM h2
+    ORDER BY hops, id
+    """,
+)
+def q31(spark: SparkSession, sf: str) -> DataFrame:
+    """k-hop BFS via iterative joins (GraphRAG traversal analog, Q12):
+    customer→nation→region over a unified node namespace."""
+    from octocode_spark.operators.graph import k_hop_neighbors
+
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    edges = (
+        c.select(F.concat(F.lit("c:"), "c_custkey").alias("src"),
+                 F.concat(F.lit("n:"), "c_nationkey").alias("dst"))
+        .unionByName(
+            n.select(F.concat(F.lit("n:"), "n_nationkey").alias("src"),
+                     F.concat(F.lit("r:"), "n_regionkey").alias("dst")))
+    )
+    seeds = c.filter("c_custkey < 10").select(F.concat(F.lit("c:"), "c_custkey").alias("id"))
+    out = k_hop_neighbors(edges, seeds, k=2)
+    return out.select("id", F.col("hops").cast("long").alias("hops")).orderBy("hops", "id")
+
+
+@_q(
+    "q32_top_user_per_type",
+    """
+    WITH totals AS (
+        SELECT event_type, user_id,
+               SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS total
+        FROM events GROUP BY event_type, user_id)
+    SELECT event_type,
+           arg_max(user_id, total * 100000 + user_id) AS top_user,
+           MAX(total) AS top_total
+    FROM totals GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q32(spark: SparkSession, sf: str) -> DataFrame:
+    """Arg-max representative per group (A3: the min-distance representative
+    kept while summing scores, src/indexer/search.rs:1694-1714). The
+    composite key makes the argmax total-ordered (deterministic ties)."""
+    totals = (
+        _t(spark, sf, "events")
+        .groupBy("event_type", "user_id")
+        .agg(F.sum(_cents(F.col("value"), 10000)).alias("total"))
+    )
+    return (
+        totals.groupBy("event_type")
+        .agg(
+            F.max_by("user_id", F.col("total") * 100000 + F.col("user_id")).alias("top_user"),
+            F.max("total").alias("top_total"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q33_exact_median",
+    """
+    SELECT event_type,
+           ROUND(quantile_cont(value, 0.5), 4) AS median_value,
+           ROUND(quantile_cont(value, 0.9), 4) AS p90_value
+    FROM events GROUP BY event_type ORDER BY event_type
+    """,
+)
+def q33(spark: SparkSession, sf: str) -> DataFrame:
+    """Exact interpolated percentiles (A7 family; Spark `percentile` and
+    DuckDB `quantile_cont` share the linear-interpolation definition)."""
+    return (
+        _t(spark, sf, "events")
+        .groupBy("event_type")
+        .agg(
+            F.round(F.percentile("value", F.lit(0.5)), 4).alias("median_value"),
+            F.round(F.percentile("value", F.lit(0.9)), 4).alias("p90_value"),
+        )
+        .orderBy("event_type")
+    )
+
+
+@_q(
+    "q34_pivot_event_counts",
+    """
+    SELECT user_id % 10 AS user_bucket,
+           COUNT(*) FILTER (WHERE event_type = 'click')    AS click,
+           COUNT(*) FILTER (WHERE event_type = 'error')    AS error,
+           COUNT(*) FILTER (WHERE event_type = 'purchase') AS purchase,
+           COUNT(*) FILTER (WHERE event_type = 'signup')   AS signup,
+           COUNT(*) FILTER (WHERE event_type = 'view')     AS view
+    FROM events GROUP BY 1 ORDER BY user_bucket
+    """,
+)
+def q34(spark: SparkSession, sf: str) -> DataFrame:
+    """Pivot (wide counts) — explicit value list keeps column order stable."""
+    return (
+        _t(spark, sf, "events")
+        .withColumn("user_bucket", F.col("user_id") % 10)
+        .groupBy("user_bucket")
+        .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+        .count()
+        .na.fill(0)
+        .orderBy("user_bucket")
+    )
+
+
+@_q(
+    "q35_text_chunking",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(trim(text), '\\s+') AS ws FROM documents)
+    SELECT doc_id,
+           CAST(s AS BIGINT) AS chunk_start,
+           CAST(least(20, len(ws) - s + 1) AS BIGINT) AS chunk_len,
+           ws[s] AS first_word
+    FROM w, unnest(generate_series(1, len(ws), 10)) AS t(s)
+    ORDER BY doc_id, chunk_start
+    """,
+)
+def q35(spark: SparkSession, sf: str) -> DataFrame:
+    """Overlapping-window text chunking (size 20, stride 10) — the
+    chunk-with-overlap shape of the reference's text pipeline
+    (src/indexer/file_processor.rs:51-53), as sequence + posexplode."""
+    d = _t(spark, sf, "documents")
+    words = F.split(F.trim(F.col("text")), r"\s+")
+    starts = F.sequence(F.lit(1), F.size(words), F.lit(10))
+    return (
+        d.select("doc_id", words.alias("ws"), F.explode(starts).alias("s"))
+        .select(
+            "doc_id",
+            F.col("s").cast("long").alias("chunk_start"),
+            F.least(F.lit(20), F.size("ws") - F.col("s") + 1).cast("long").alias("chunk_len"),
+            F.element_at("ws", F.col("s")).alias("first_word"),
+        )
+        .orderBy("doc_id", "chunk_start")
+    )
+
+
+@_q(
+    "q36_streaming_window_counts",
+    """
+    SELECT CAST(FLOOR(epoch_ms(ts) / 300000) AS BIGINT) AS win, event_type, COUNT(*) AS n
+    FROM events GROUP BY 1, 2 ORDER BY win, event_type
+    """,
+)
+def q36(spark: SparkSession, sf: str) -> DataFrame:
+    """Structured Streaming end-to-end: readStream over the events parquet,
+    5-minute tumbling-window counts, memory sink drained with availableNow —
+    the continuous-maintenance trigger pattern (reference watcher analog,
+    SURVEY §3.3). The oracle is the equivalent batch aggregation."""
+    import uuid as _uuid
+
+    batch_schema = _t(spark, sf, "events").schema
+    # file-stream source needs a directory; glob-filter to the events table
+    stream = (
+        spark.readStream.schema(batch_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf)
+    )
+    agg = (
+        stream.withColumn("ts", F.col("ts").cast("timestamp"))
+        .groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    name = f"q36_{_uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete").format("memory").queryName(name)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.table(name)
+        .select(
+            F.floor(F.unix_millis(F.col("w.start")) / 300000).alias("win"),
+            "event_type",
+            "n",
+        )
+        .orderBy("win", "event_type")
+    )
+
+
+# =====================================================================
 # Rows-only queries (non-SQL-expressible: xxhash64 / pandas UDF / stubs)
 # =====================================================================
 
