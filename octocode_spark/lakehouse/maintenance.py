@@ -316,10 +316,19 @@ def full_maintenance(
     expire snapshots, GC orphans. Per-table errors are NOT swallowed (unlike
     the reference) — a maintenance engine must fail loudly."""
     plan = plan_compaction(table, target_file_size=target_file_size)
-    rewrite = rewrite_partitions(
-        spark, table, plan, ledger=ledger, op="compact", cluster_by=cluster_by,
-        target_file_size=target_file_size, max_concurrency=max_concurrency,
-    )
+    # adaptive mode choice (M2 spirit): when most of the table is being
+    # rewritten, one global scan+shuffle beats per-partition jobs (no per-job
+    # latency, full-width shuffle); for incremental touch-ups, per-partition
+    # jobs keep compute-resume granularity
+    table_bytes = sum(f.bytes for f in table.files()) or 1
+    if cluster_by and plan.bytes / table_bytes > 0.5:
+        rewrite = rewrite_global(spark, table, plan, ledger=ledger, op="compact",
+                                 cluster_by=cluster_by)
+    else:
+        rewrite = rewrite_partitions(
+            spark, table, plan, ledger=ledger, op="compact", cluster_by=cluster_by,
+            target_file_size=target_file_size, max_concurrency=max_concurrency,
+        )
     manifest_snap = table.rewrite_manifests()
     expired = table.expire_snapshots(older_than_ms=expire_older_than_ms, retain_last=retain_last)
     orphans = table.remove_orphan_files()

@@ -193,7 +193,20 @@ class LakeTable:
             )
         return [f for f in dfiles if f.records > 0]
 
+    def _check_schema(self, df: DataFrame) -> None:
+        """Fail loudly on writer-schema drift (the reference's policy: vector
+        dim mismatch ⇒ rebuild, never silently serve, src/store/mod.rs:260-314;
+        here: never silently write a drifted schema)."""
+        expected = [(f.name, f.dataType.simpleString()) for f in self.schema.fields]
+        got = [(f.name, f.dataType.simpleString()) for f in df.schema.fields]
+        if expected != got:
+            raise ValueError(
+                f"schema drift: table expects {expected}, writer has {got}; "
+                "evolve the table schema explicitly instead"
+            )
+
     def append(self, df: DataFrame) -> Snapshot:
+        self._check_schema(df)
         added = self._write_datafiles(df)
         return self._commit("append", added=added, replaced=[])
 

@@ -932,6 +932,42 @@ def q36(spark: SparkSession, sf: str) -> DataFrame:
 # Rows-only queries (non-SQL-expressible: xxhash64 / pandas UDF / stubs)
 # =====================================================================
 
+@_q(
+    "q37_embedding_near_dups_exact",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS v FROM embeddings)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM e a JOIN e b ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE list_dot_product(a.v, b.v)
+          / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))) >= 0.3
+    ORDER BY a, b
+    """,
+)
+def q37(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs, EXACT within label blocks (the IVF-style
+    block-then-verify shape: equi-join on the coarse cluster, exact cosine
+    inside — never an unblocked cross join)."""
+    from octocode_spark.operators.ann import cosine_sim
+
+    e = _t(spark, sf, "embeddings").select(
+        "vec_id", "label", F.col("embedding").cast("array<double>").alias("v")
+    )
+    a = e.select(F.col("vec_id").alias("a"), "label", F.col("v").alias("va"))
+    b = e.select(F.col("vec_id").alias("b"), "label", F.col("v").alias("vb"))
+    cos = cosine_sim(F.col("va"), F.col("vb"))
+    return (
+        a.join(b, "label")
+        .filter(F.col("a") < F.col("b"))
+        .withColumn("cosine", F.round(cos, 6))
+        .filter(cos >= 0.3)
+        .select("a", "b", "cosine")
+        .orderBy("a", "b")
+    )
+
+
 @_q("q25_cluster_keys")  # no oracle: xxhash64 + pandas UDF not in DuckDB
 def q25(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order + Hilbert keys over a deterministic sequences sample — the
