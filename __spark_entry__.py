@@ -49,11 +49,12 @@ def _ensure_shipped(spark: SparkSession) -> None:
 
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship: weighted-RRF fusion of two ranked user lists at sf0.001."""
+    """Flagship: hybrid search (keyword ∥ vector cosine → weighted RRF),
+    the reference's core read path, at sf0.001."""
     _ensure_shipped(spark)
     from octocode_spark.queries import queries as _qs
 
-    return _qs()["q08_weighted_rrf_users"](spark, "/root/testdata/sf0.001")
+    return _qs()["q38_hybrid_search"](spark, "/root/testdata/sf0.001")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -968,6 +968,77 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "q38_hybrid_search",
+    """
+    WITH kw_all AS (
+        SELECT doc_id AS id,
+               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w = 'spark'))
+             + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w = 'join'))
+             + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w = 'window'))
+               AS kscore
+        FROM documents),
+    kw AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY kscore DESC, id ASC) AS r
+        FROM (SELECT * FROM kw_all WHERE kscore > 0 ORDER BY kscore DESC, id ASC LIMIT 100)),
+    q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    vec_all AS (
+        SELECT vec_id AS id,
+               list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))) AS cos
+        FROM embeddings, q),
+    vec AS (
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id ASC) AS r
+        FROM (SELECT * FROM vec_all ORDER BY cos DESC, id ASC LIMIT 100))
+    SELECT COALESCE(kw.id, vec.id) AS id,
+           COALESCE(0.7 / (60 + kw.r), 0.0) + COALESCE(0.3 / (60 + vec.r), 0.0) AS rrf_score,
+           (CASE WHEN kw.id IS NULL THEN 0 ELSE 1 END
+            + CASE WHEN vec.id IS NULL THEN 0 ELSE 1 END) AS sources
+    FROM kw FULL OUTER JOIN vec ON kw.id = vec.id
+    ORDER BY rrf_score DESC, id ASC LIMIT 20
+    """,
+)
+def q38(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid search — the reference's core read path (ANN ∥ keyword →
+    weighted RRF, src/store/mod.rs:1194-1370) with the benchmark-winning
+    0.3/0.7 keyword tilt (benchmark/RESULTS.md:17)."""
+    from octocode_spark.operators.hybrid import hybrid_search
+
+    return hybrid_search(
+        _t(spark, sf, "documents"),
+        _t(spark, sf, "embeddings"),
+        terms=["spark", "join", "window"],
+        query_vec_id=0,
+        k=20,
+    )
+
+
+@_q(
+    "q39_deterministic_sample",
+    """
+    SELECT source,
+           COUNT(*) AS sampled,
+           SUM(CAST(n_chars AS BIGINT)) AS sampled_chars
+    FROM documents
+    WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
+    GROUP BY source ORDER BY source
+    """,
+)
+def q39(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic hash-based sampling (training-data subsetting): the
+    SAME 10% sample on any engine, any cluster size, any run — no RNG state.
+    md5-prefix buckets are engine-portable (unlike rand()/TABLESAMPLE)."""
+    d = _t(spark, sf, "documents")
+    bucket = F.pmod(F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 8), 16, 10).cast("long"), F.lit(100))
+    return (
+        d.filter(bucket < 10)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("sampled"), F.sum(F.col("n_chars").cast("long")).alias("sampled_chars"))
+        .orderBy("source")
+    )
+
+
 @_q("q25_cluster_keys")  # no oracle: xxhash64 + pandas UDF not in DuckDB
 def q25(spark: SparkSession, sf: str) -> DataFrame:
     """Z-order + Hilbert keys over a deterministic sequences sample — the
