@@ -142,7 +142,7 @@ def hw_ceiling() -> dict:
 
 
 def maintenance_run(cores: int, input_root: str, tag: str, cluster_by: str | None = "zorder",
-                    repeats: int = 2) -> dict:
+                    repeats: int = 3) -> dict:
     """Fresh session at `cores`; identical input copies; one warmup rewrite
     (JIT/codegen steady state) then best-of-``repeats`` timed runs of the
     full compaction + Z-order clustered rewrite (single global scan+shuffle,

@@ -517,7 +517,7 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 def q17(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k (ANN baseline; Q1 analog). The plan is
     TakeOrderedAndProject over one scan — per-partition partial top-k."""
-    from octocode_spark.operators.ann import _dot, _norm
+    from octocode_spark.operators.ann import _dot
 
     e = _t(spark, sf, "embeddings")
     q = e.filter("vec_id = 0").select(F.col("embedding").cast("array<double>").alias("qv"))
