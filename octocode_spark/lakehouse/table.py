@@ -138,6 +138,23 @@ class LakeTable:
         paths = [os.path.join(self.root, f.path) for f in files]
         return spark.read.schema(self.schema).parquet(*paths)
 
+    def incremental_files(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> list[DataFile]:
+        """Data files ADDED strictly after ``from_snapshot_id`` and live at
+        ``to_snapshot_id`` (default: current) — the Iceberg incremental-read
+        (`start-snapshot-id`) analog; the reference's git-diff source pruning
+        (SURVEY S3, src/indexer/mod.rs:1207-1263) maps here."""
+        base_paths = {f.path for f in self.files(snapshot_id=from_snapshot_id)}
+        return [f for f in self.files(snapshot_id=to_snapshot_id) if f.path not in base_paths]
+
+    def incremental_read(
+        self, spark: SparkSession, from_snapshot_id: int, to_snapshot_id: int | None = None
+    ) -> DataFrame:
+        """Rows in files added after ``from_snapshot_id``. For append-only
+        traffic this is exactly the new rows; after rewrites it is the
+        rewritten files' contents (callers MERGE on keys, which is idempotent
+        — same contract as Iceberg's incremental append scan)."""
+        return self.read_files(spark, self.incremental_files(from_snapshot_id, to_snapshot_id))
+
     def partitions(self, snapshot_id: int | None = None) -> dict[str, list[DataFile]]:
         """Group live files by partition key string (ledger grain)."""
         groups: dict[str, list[DataFile]] = {}

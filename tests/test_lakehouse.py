@@ -31,6 +31,23 @@ def test_time_travel_pins_old_snapshot(spark, tmp_table_dir):
     assert table_digest(t.read(spark, snapshot_id=s1.snapshot_id)) == d1
 
 
+def test_incremental_read_returns_only_new_rows(spark, tmp_table_dir):
+    """S3 incremental source: rows added between two snapshots, planned from
+    manifest diffs only."""
+    df = sequences(spark, 600, max_tok_cap=64)
+    t = LakeTable.create(tmp_table_dir, df.schema, partition_by=["source"], stat_cols=["n_tok"])
+    s1 = t.append(df.filter("cast(substring(doc_id, -12, 12) as long) < 400"))
+    s2 = t.append(df.filter("cast(substring(doc_id, -12, 12) as long) >= 400"))
+    inc = t.incremental_read(spark, from_snapshot_id=s1.snapshot_id)
+    assert inc.count() == 200
+    expected = df.filter("cast(substring(doc_id, -12, 12) as long) >= 400")
+    assert table_digest(inc) == table_digest(expected)
+    # bounded window [s1, s2] equals the same thing here
+    assert t.incremental_read(spark, s1.snapshot_id, s2.snapshot_id).count() == 200
+    # from the latest snapshot: nothing new
+    assert len(t.incremental_files(s2.snapshot_id)) == 0
+
+
 def test_partition_pruning_uses_manifests_only(spark, tmp_table_dir):
     t = make_sequences_table(spark, tmp_table_dir, n_rows=2000)
     files = t.files(partition_filter={"source": "github"})
