@@ -99,16 +99,24 @@ def sequence_updates(
     n_updates: int,
     max_tok_cap: int | None = None,
 ) -> DataFrame:
-    """F2 MERGE source: ~50% updates of existing doc_ids (mutated tokens),
-    ~40% new doc_ids, ~10% deletions of existing doc_ids (`deleted` flag).
+    """F2 MERGE source: ~60% updates of existing doc_ids (mutated tokens),
+    ~30% new doc_ids, ~10% deletions of existing doc_ids (`deleted` flag).
     Skew matches F1 because ids reuse the same bucket hash."""
+    from pyspark.sql import Window
+
     base = spark.range(0, n_updates, 1)
     kind = F.pmod(_h(10, F.col("id")), F.lit(100))
-    # updates/deletes target existing ids; inserts use ids beyond n_existing
-    target_id = F.when(kind < 60, F.pmod(_h(11, F.col("id")), F.lit(n_existing))).otherwise(
-        F.lit(n_existing) + F.col("id")
-    )
-    df = base.select(target_id.alias("tid"), kind.alias("kind"))
+    # updates (kind<60) AND deletes (kind>=90) target existing ids; inserts
+    # (60<=kind<90) mint fresh ids beyond n_existing
+    target_id = F.when(
+        (kind < 60) | (kind >= 90), F.pmod(_h(11, F.col("id")), F.lit(n_existing))
+    ).otherwise(F.lit(n_existing) + F.col("id"))
+    df = base.select(F.col("id"), target_id.alias("tid"), kind.alias("kind"))
+    # one row per target id, DETERMINISTICALLY: an update and a delete can now
+    # hash to the same existing id, and their `deleted` flags differ —
+    # dropDuplicates would keep an arbitrary one. Min generator id wins.
+    w = Window.partitionBy("tid").orderBy("id")
+    df = df.withColumn("_rn", F.row_number().over(w)).filter(F.col("_rn") == 1).drop("_rn", "id")
     bucket = F.pmod(_h(1, F.col("tid")), F.lit(100))
     seg = F.pmod(_h(12, F.col("tid")), F.lit(100))
     n_tok = (
@@ -133,6 +141,4 @@ def sequence_updates(
         F.sequence(F.lit(0), F.col("n_tok") - 1),
         lambda pos: F.pmod(_h(16, F.col("doc_id"), pos), F.lit(VOCAB)).cast("int"),
     )
-    out = df.select("doc_id", tokens.alias("tokens"), "n_tok", "source", "deleted")
-    # deletions of never-existing ids would be no-ops; keep them anyway (MERGE must tolerate)
-    return out.dropDuplicates(["doc_id"])
+    return df.select("doc_id", tokens.alias("tokens"), "n_tok", "source", "deleted")

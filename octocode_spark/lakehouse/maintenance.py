@@ -329,11 +329,15 @@ def full_maintenance(
             target_file_size=target_file_size, max_concurrency=max_concurrency,
         )
     manifest_snap = table.rewrite_manifests()
+    # expire deletes the files it expired (provenance-safe); the orphan scan
+    # only reaps crash leftovers older than the writer grace window, so it
+    # can never race a concurrent writer's staged-but-uncommitted files
     expired = table.expire_snapshots(older_than_ms=expire_older_than_ms, retain_last=retain_last)
     orphans = table.remove_orphan_files()
     return {
         "rewrite": rewrite,
         "manifest_snapshot": manifest_snap.snapshot_id if manifest_snap else None,
         "expired_snapshots": len(expired),
+        "expired_files_removed": len(getattr(table, "last_gc_files", [])),
         "orphans_removed": len(orphans),
     }

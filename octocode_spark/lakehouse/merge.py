@@ -111,7 +111,8 @@ def merge_into(
 
     if touched_files:
         survivors = _anti_join_salted(
-            table.read_files(spark, touched_files), src.select(key), key, salt_buckets
+            table.read_files(spark, touched_files), src.select(key), key, salt_buckets,
+            n_keys=n_src,
         )
         new_data = survivors.unionByName(upserts)
     else:
@@ -158,14 +159,23 @@ def merge_into(
     )
 
 
-def _anti_join_salted(target: DataFrame, keys: DataFrame, key: str, salt_buckets: int) -> DataFrame:
+def _anti_join_salted(
+    target: DataFrame, keys: DataFrame, key: str, salt_buckets: int,
+    n_keys: int | None = None,
+) -> DataFrame:
     """target ∖ keys. With salt_buckets > 0, explode the (small) key side into
     salted replicas and hash the big side's salt from the key — spreads one
     hot join key over N reducers. AQE skew-join normally covers this; the
     explicit salt is for clusters/configs where it can't (e.g. a single
-    monster key inside one partition)."""
+    monster key inside one partition).
+
+    The unsalted path broadcasts the key set only when it respects
+    BROADCAST_KEY_LIMIT (same gate as the earlier semi-join) — a huge MERGE
+    source must shuffle, not be shipped to every executor."""
     if salt_buckets <= 0:
-        return target.join(F.broadcast(keys), on=key, how="left_anti")
+        if n_keys is None or n_keys <= BROADCAST_KEY_LIMIT:
+            keys = F.broadcast(keys)
+        return target.join(keys, on=key, how="left_anti")
     salted_keys = keys.withColumn(
         "_salt", F.explode(F.sequence(F.lit(0), F.lit(salt_buckets - 1)))
     )

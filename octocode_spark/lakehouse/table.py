@@ -228,6 +228,7 @@ class LakeTable:
         return self._commit("append", added=added, replaced=[])
 
     def overwrite_all(self, df: DataFrame) -> Snapshot:
+        self._check_schema(df)
         added = self._write_datafiles(df)
         live = [f.path for f in self.files()]
         return self._commit("overwrite", added=added, replaced=live)
@@ -245,20 +246,25 @@ class LakeTable:
         possible (the caller can pre-filter), then a per-file anti-filter
         rewrite. Analog of reference delete-by-predicate
         (src/store/table_ops.rs:141-182) but file-granular, not table-scan.
+
+        SQL DELETE semantics: a row is deleted iff the predicate is TRUE;
+        rows where it evaluates NULL are KEPT (same as Iceberg/ANSI) — hence
+        the coalesce(pred, false) on both the hit-file scan and the rewrite.
         """
         from pyspark.sql import functions as F
 
+        pred_true = F.coalesce(predicate.cast("boolean"), F.lit(False))
         files = self.files()
         if not files:
             return None
         src = self.read_files(spark, files).withColumn("_file", F.input_file_name())
-        hit_files = [r["_file"] for r in src.filter(predicate).select("_file").distinct().collect()]
+        hit_files = [r["_file"] for r in src.filter(pred_true).select("_file").distinct().collect()]
         if not hit_files:
             return None
         hit_rel = [os.path.relpath(_strip_scheme(p), self.root) for p in hit_files]
         keep_df = (
             spark.read.schema(self.schema).parquet(*[_strip_scheme(p) for p in hit_files])
-            .filter(~predicate)
+            .filter(~pred_true)
         )
         added = self._write_datafiles(keep_df)
         return self._commit("delete", added=added, replaced=hit_rel)
@@ -344,23 +350,35 @@ class LakeTable:
 
     # ------------------------------------------------------------------ maintenance: expiry + GC
     def expire_snapshots(
-        self, older_than_ms: int | None = None, retain_last: int = 1
+        self, older_than_ms: int | None = None, retain_last: int = 1,
+        clean_files: bool = True,
     ) -> list[int]:
         """Drop snapshot entries (keeping the current one and the most recent
         ``retain_last``); commits a new metadata version. Reference analog:
-        7-day version pruning inside optimize_tables (src/store/mod.rs:674-676)."""
+        7-day version pruning inside optimize_tables (src/store/mod.rs:674-676).
+
+        With ``clean_files`` (default, Iceberg expireSnapshots semantics) the
+        data files and manifests reachable ONLY from the expired snapshots are
+        deleted after the metadata commit. This is provenance-safe — unlike a
+        blind orphan scan, it can never race an in-flight writer's staged
+        files, because every deleted path was committed in an expired
+        snapshot. Deleted paths land in ``self.last_gc_files``.
+        """
         retain_last = max(retain_last, 1)
+        self.last_gc_files: list[str] = []
         while True:
             meta = load_latest_metadata(self.root)
             snaps = meta.snapshots
             keep: list[Snapshot] = []
             expired: list[int] = []
+            expired_snaps: list[Snapshot] = []
             cutoff_idx = max(0, len(snaps) - retain_last)
             for i, s in enumerate(snaps):
                 retained = i >= cutoff_idx or s.snapshot_id == meta.current_snapshot_id
                 too_old = older_than_ms is None or s.timestamp_ms < older_than_ms
                 if not retained and too_old:
                     expired.append(s.snapshot_id)
+                    expired_snaps.append(s)
                 else:
                     keep.append(s)
             if not expired:
@@ -377,12 +395,71 @@ class LakeTable:
             )
             if write_metadata_exclusive(self.root, new_meta):
                 self.meta = new_meta
+                if clean_files:
+                    self.last_gc_files = self._clean_expired_files(keep, expired_snaps)
                 return expired
             time.sleep(0.01)
 
-    def remove_orphan_files(self, dry_run: bool = False) -> list[str]:
-        """Delete data + manifest files unreferenced by ANY retained snapshot.
+    def _clean_expired_files(
+        self, keep: list[Snapshot], expired: list[Snapshot]
+    ) -> list[str]:
+        """Delete manifests referenced only by expired snapshots, and data
+        files referenced only by those manifests (manifests are reused across
+        snapshots and data files across manifests, so both checks are by
+        path against the full retained closure)."""
+        keep_manifests: set[str] = set()
+        for s in keep:
+            keep_manifests.update(s.manifests)
+        keep_files: set[str] = set()
+        for rel in keep_manifests:
+            keep_files.update(f.path for f in read_manifest(self.root, rel).files)
+        dead_manifests: set[str] = set()
+        for s in expired:
+            dead_manifests.update(m for m in s.manifests if m not in keep_manifests)
+        deleted: list[str] = []
+        for rel in sorted(dead_manifests):
+            try:
+                mf = read_manifest(self.root, rel)
+            except FileNotFoundError:
+                continue  # concurrent expire already cleaned it
+            for f in mf.files:
+                if f.path not in keep_files:
+                    try:
+                        os.unlink(os.path.join(self.root, f.path))
+                        deleted.append(f.path)
+                    except FileNotFoundError:
+                        pass
+            try:
+                os.unlink(os.path.join(self.root, rel))
+                deleted.append(rel)
+            except FileNotFoundError:
+                pass
+        self._prune_empty_partition_dirs()
+        return deleted
+
+    def _prune_empty_partition_dirs(self) -> None:
+        data_root = os.path.join(self.root, "data")
+        for dirpath, dirs, names in os.walk(data_root, topdown=False):
+            if not dirs and not names and dirpath != data_root:
+                try:
+                    os.rmdir(dirpath)
+                except OSError:
+                    pass
+
+    # files younger than this are assumed to belong to an in-flight writer
+    # (staged + moved before its metadata commit) — Iceberg's orphan-cleanup
+    # default grace is 3 days for the same race
+    ORPHAN_GRACE_MS = 3 * 24 * 3600 * 1000
+
+    def remove_orphan_files(
+        self, dry_run: bool = False, older_than_ms: int | None = None
+    ) -> list[str]:
+        """Delete data + manifest files unreferenced by ANY retained snapshot
+        AND older (mtime) than ``older_than_ms`` (default: now − 3 days).
+        The grace window keeps GC from racing a concurrent writer whose data
+        files are already moved into data/ but whose commit has not landed.
         Reference analog: orphan/stale cleanup (src/indexer/mod.rs:282-366)."""
+        cutoff = older_than_ms if older_than_ms is not None else _now_ms() - self.ORPHAN_GRACE_MS
         meta = load_latest_metadata(self.root)
         referenced_data: set[str] = set()
         referenced_manifests: set[str] = set()
@@ -391,18 +468,25 @@ class LakeTable:
                 referenced_manifests.add(rel)
                 for f in read_manifest(self.root, rel).files:
                     referenced_data.add(f.path)
+
+        def _old_enough(rel: str) -> bool:
+            try:
+                return os.path.getmtime(os.path.join(self.root, rel)) * 1000 < cutoff
+            except OSError:
+                return False
+
         orphans: list[str] = []
         data_root = os.path.join(self.root, "data")
         for dirpath, _dirs, names in os.walk(data_root):
             for name in names:
                 rel = os.path.relpath(os.path.join(dirpath, name), self.root)
-                if rel not in referenced_data:
+                if rel not in referenced_data and _old_enough(rel):
                     orphans.append(rel)
         mdir = os.path.join(self.root, "metadata")
         for name in os.listdir(mdir):
             if name.startswith("mf-") and name.endswith(".json"):
                 rel = os.path.join("metadata", name)
-                if rel not in referenced_manifests:
+                if rel not in referenced_manifests and _old_enough(rel):
                     orphans.append(rel)
         if not dry_run:
             for rel in orphans:

@@ -63,7 +63,8 @@ def test_full_maintenance_end_to_end(spark, tmp_table_dir, tmp_path):
     ledger = Ledger(str(tmp_path / "ledger"))
     out = full_maintenance(spark, t, ledger=ledger, cluster_by="hilbert", retain_last=1)
     assert out["rewrite"].partitions_done
-    assert out["orphans_removed"] > 0
+    assert out["expired_files_removed"] > 0  # expire reaped its own files
+    assert out["orphans_removed"] == 0  # nothing inside the writer grace window
     assert table_digest(t.read(spark)) == pre
     # ledger has one done row per rewritten partition, each with a live commit
     snap_ids = {s.snapshot_id for s in t.meta.snapshots}

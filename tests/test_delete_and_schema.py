@@ -39,6 +39,32 @@ def test_delete_where_no_match_is_noop(spark, tmp_table_dir):
     assert table_digest(t.read(spark)) == pre
 
 
+def test_delete_where_null_predicate_keeps_rows(spark, tmp_table_dir):
+    """ANSI/Iceberg DELETE: rows where the predicate evaluates NULL are NOT
+    deleted — neither in rewritten files nor by the hit-file scan."""
+    df = sequences(spark, 300, max_tok_cap=64).withColumn(
+        "n_tok",
+        F.when(F.col("n_tok") % 3 == 0, F.lit(None).cast("int")).otherwise(F.col("n_tok")),
+    )
+    t = LakeTable.create(tmp_table_dir, df.schema, partition_by=["source"], stat_cols=["doc_id"])
+    t.append(df)
+    n_null = df.filter("n_tok is null").count()
+    n_hit = df.filter("n_tok < 100").count()  # null rows excluded by SQL semantics
+    assert n_null > 0 and n_hit > 0
+    t.delete_where(spark, F.col("n_tok") < 100)
+    got = t.read(spark)
+    assert got.count() == df.count() - n_hit
+    # every NULL row survived (the old ~predicate bug silently dropped them)
+    assert got.filter("n_tok is null").count() == n_null
+
+
+def test_overwrite_rejects_schema_drift(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=200, small_files=2)
+    bad = sequences(spark, 50, max_tok_cap=64).withColumn("extra", F.lit(1))
+    with pytest.raises(ValueError, match="schema drift"):
+        t.overwrite_all(bad)
+
+
 def test_append_rejects_schema_drift(spark, tmp_table_dir):
     t = make_sequences_table(spark, tmp_table_dir, n_rows=200, small_files=2)
     bad = sequences(spark, 50, max_tok_cap=64).withColumn("extra", F.lit(1))

@@ -116,10 +116,40 @@ def test_expire_and_orphan_gc_preserve_current(spark, tmp_table_dir):
     t.overwrite_all(t.read(spark))  # churn: makes old files unreferenced-by-current
     expired = t.expire_snapshots(retain_last=1)
     assert expired
-    orphans = t.remove_orphan_files()
-    assert orphans
+    # expire deletes the files only the expired snapshots referenced
+    assert t.last_gc_files
+    import os
+
+    for rel in t.last_gc_files:
+        assert not os.path.exists(os.path.join(t.root, rel))
     # current snapshot fully readable after GC; original 800 rows intact
     cur = t.read(spark)
     assert cur.count() == 850
     orig = cur.join(sequences(spark, 800, max_tok_cap=64).select("doc_id"), "doc_id", "left_semi")
     assert table_digest(orig) == d
+
+
+def test_orphan_gc_grace_window_spares_recent_files(spark, tmp_table_dir):
+    """A crashed writer's leftover (recent mtime) survives the orphan scan;
+    an old leftover is reaped — the Iceberg older_than contract that keeps
+    GC from corrupting an in-flight commit."""
+    import os
+    import time as _time
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=200, small_files=2, max_tok_cap=64)
+    fresh = os.path.join(t.root, "data", "stray-fresh.parquet")
+    stale = os.path.join(t.root, "data", "stray-stale.parquet")
+    for p in (fresh, stale):
+        with open(p, "wb") as fh:
+            fh.write(b"not a table file")
+    old = _time.time() - 4 * 24 * 3600
+    os.utime(stale, (old, old))
+
+    removed = t.remove_orphan_files()  # default grace: now − 3 days
+    assert os.path.join("data", "stray-stale.parquet") in removed
+    assert os.path.exists(fresh) and not os.path.exists(stale)
+    # explicit future cutoff reaps everything unreferenced
+    removed2 = t.remove_orphan_files(older_than_ms=int(_time.time() * 1000) + 1000)
+    assert os.path.join("data", "stray-fresh.parquet") in removed2
+    assert not os.path.exists(fresh)
+    assert t.read(spark).count() == 200

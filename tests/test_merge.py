@@ -30,6 +30,12 @@ def test_merge_update_insert_delete(spark, tmp_table_dir):
     updates = sequence_updates(spark, N, 600, max_tok_cap=256)
     expected = _expected_after_merge(spark, N, updates)
 
+    # the delete arm must target rows that actually exist pre-merge,
+    # otherwise the delete assertions below are vacuous
+    pre = sequences(spark, N, max_tok_cap=256).select("doc_id")
+    deleted_existing = updates.filter("deleted").join(pre, "doc_id", "left_semi").count()
+    assert deleted_existing > 0
+
     stats = merge_into(spark, t, updates)
     got = t.read(spark)
     assert table_digest(got) == table_digest(expected)

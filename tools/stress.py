@@ -73,9 +73,9 @@ def main() -> None:
     )
     gates["merge_digest_equal"] = table_digest(t.read(spark)) == table_digest(expected)
 
-    expired = t.expire_snapshots(retain_last=1)
-    orphans = t.remove_orphan_files()
-    gates["expiry_gc_ran"] = bool(expired) and bool(orphans)
+    expired = t.expire_snapshots(retain_last=1)  # deletes expired-only files
+    t.remove_orphan_files()  # grace-windowed crash-leftover scan (nothing here)
+    gates["expiry_gc_ran"] = bool(expired) and bool(t.last_gc_files)
     gates["post_gc_readable"] = t.read(spark).count() == expected.count()
 
     out = {
