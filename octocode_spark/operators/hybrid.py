@@ -1,15 +1,21 @@
-"""Hybrid search: keyword scoring ∥ vector cosine → weighted RRF fusion.
+"""Hybrid search: BM25 keyword scoring ∥ vector cosine → weighted RRF fusion.
 
 The reference's core read path (SURVEY §3.2: ANN ∥ BM25 → WeightedRRF,
 src/store/mod.rs:1194-1370 + src/store/weighted_rrf.rs), re-expressed as two
-ranked DataFrames fused by operators/rrf.py. Keyword side here is a simple
-term-frequency score (BM25's Lucene machinery is out of scope per SURVEY
-non-goals); vector side is exact cosine — swap in operators/ann.lsh_topk for
-the ANN path at corpus scale.
+ranked DataFrames fused by operators/rrf.py.
 
-Default weights 0.3 keyword-tilted… inverted: reference benchmark found
-hybrid_30_70 (vector 0.3 / keyword 0.7) the best local stack
-(benchmark/RESULTS.md:17) — that tilt is the default here.
+Keyword arm = full BM25 (idf + doc-length normalization, k1=1.2 / b=0.75 —
+the Lucene defaults the reference's FTS engine uses, src/store/mod.rs:1323-
+1367), computed as pure whole-stage-codegen expressions: tokenize with a
+code-style regex (alnum runs, matching the identifier-ish tokenizer in
+src/store/table_ops.rs:441-460), per-term tf via array filters, corpus stats
+(N, avgdl, per-term df) via one aggregate broadcast back over the scan.
+No UDF, no inverted index build — at 10^12-doc scale the (term → df) stats
+come from a precomputed term-stats table maintained at ingest (the
+reference's lazy FTS index analog); the scoring expression is unchanged.
+
+Default weights: reference benchmark found vector 0.3 / keyword 0.7 the best
+local stack (benchmark/RESULTS.md:17) — that tilt is the default here.
 """
 
 from __future__ import annotations
@@ -20,15 +26,93 @@ from pyspark.sql import functions as F
 from octocode_spark.operators.ann import cosine_sim
 from octocode_spark.operators.rrf import weighted_rrf
 
+BM25_K1 = 1.2
+BM25_B = 0.75
+TOKEN_PATTERN = "[a-z0-9]+"  # code-style: lowercase alnum runs
+
 
 def keyword_score(text: Column, terms: list[str]) -> Column:
-    """Total occurrence count of the query terms (word-boundary matches)."""
+    """Raw term-frequency score (word-boundary matches) — kept as the cheap
+    pre-filter / debugging baseline; hybrid_search uses bm25_scores."""
     words = F.split(F.lower(F.trim(text)), r"\s+")
     score = None
     for t in terms:
         cnt = F.size(F.filter(words, lambda w: w == t.lower()))
         score = cnt if score is None else score + cnt
     return score.cast("long")
+
+
+def bm25_scores(
+    docs: DataFrame,
+    terms: list[str],
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """(id, bm25) for every document matching ≥1 query term.
+
+    score(d) = Σ_t idf(t) · tf·(k1+1) / (tf + k1·(1 − b + b·dl/avgdl)),
+    idf(t) = ln((N − df + 0.5)/(df + 0.5) + 1)   [Lucene's BM25+ variant]
+
+    Two scans of `docs` (one for corpus stats, one to score), zero Python.
+    The stats row is broadcast, so the score pass stays embarrassingly
+    parallel at any corpus size.
+    """
+    terms = [t.lower() for t in terms]
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+
+    def _tf(term: str) -> Column:
+        # closure helper: a 2-arg lambda would hit F.filter's (elem, index) form
+        return F.size(F.filter("_toks", lambda w: w == term))
+
+    base = docs.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
+        "id",
+        F.size("_toks").alias("_dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+    stats = base.agg(
+        F.count(F.lit(1)).cast("double").alias("_n"),
+        (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
+        *[
+            F.sum((F.col(f"_tf{i}") > 0).cast("int")).cast("double").alias(f"_df{i}")
+            for i in range(len(terms))
+        ],
+    )
+    scored = base.crossJoin(F.broadcast(stats))
+    term_scores = []
+    for i in range(len(terms)):
+        idf = F.log((F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1)
+        denom = F.col(f"_tf{i}") + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
+        )
+        term_scores.append(idf * (F.col(f"_tf{i}") * F.lit(k1 + 1.0)) / denom)
+    total = term_scores[0]
+    for s in term_scores[1:]:
+        total = total + s
+    any_hit = F.col("_tf0") > 0
+    for i in range(1, len(terms)):
+        any_hit = any_hit | (F.col(f"_tf{i}") > 0)
+    return scored.filter(any_hit).select("id", total.alias("bm25"))
+
+
+def bm25_topk(
+    docs: DataFrame,
+    terms: list[str],
+    k: int = 50,
+    k1: float = BM25_K1,
+    b: float = BM25_B,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Top-k by BM25 with the deterministic id tie-break
+    (TakeOrderedAndProject — per-partition partial top-k, no full sort)."""
+    return (
+        bm25_scores(docs, terms, k1, b, text_col, id_col)
+        .select("id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(k)
+    )
 
 
 def hybrid_search(
@@ -46,9 +130,8 @@ def hybrid_search(
     Two candidate lists of ``candidates`` each (over-fetch, like the
     reference's top_k_candidates=50), fused with w/(60+rank)."""
     kw = (
-        docs.select(F.col("doc_id").alias("id"), keyword_score(F.col("text"), terms).alias("kscore"))
-        .filter(F.col("kscore") > 0)
-        .orderBy(F.col("kscore").desc(), F.col("id").asc())
+        bm25_scores(docs, terms)
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
         .limit(candidates)
     )
     q = vectors.filter(F.col("vec_id") == query_vec_id).select(
@@ -64,6 +147,6 @@ def hybrid_search(
         .limit(candidates)
     )
     return weighted_rrf(
-        [(kw, keyword_weight, "kscore", False), (vec, vector_weight, "cos", False)],
+        [(kw, keyword_weight, "bm25", False), (vec, vector_weight, "cos", False)],
         limit=k,
     )

@@ -471,11 +471,15 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
         SELECT doc_id,
                string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
         FROM documents),
-    grams AS (
+    grams_all AS (
         SELECT doc_id, unnest(list_distinct(list_transform(
                    generate_series(1, greatest(len(ws) - 2, 1)),
                    i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
         FROM words),
+    rare AS (
+        SELECT shingle FROM grams_all GROUP BY shingle HAVING COUNT(*) <= 50),
+    grams AS (
+        SELECT doc_id, grams_all.shingle FROM grams_all JOIN rare USING (shingle)),
     sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
     inter AS (
         SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
@@ -488,12 +492,16 @@ def q15(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q16(spark: SparkSession, sf: str) -> DataFrame:
-    """n-gram Jaccard near-dup pairs (explode/join/agg — never a cross join)."""
+    """n-gram Jaccard near-dup pairs (explode/join/agg — never a cross join).
+
+    max_shingle_df=50 is the scale-safe shape: the shingle self-join is
+    O(Σ df²), so one stopword trigram at corpus scale is a quadratic blow-up
+    without the frequency cut. The oracle applies the identical cut."""
     from octocode_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
     return (
-        ngram_jaccard_pairs(d, n=3, threshold=0.05, hash_shingles=False)
+        ngram_jaccard_pairs(d, n=3, threshold=0.05, max_shingle_df=50, hash_shingles=False)
         .orderBy("a", "b")
     )
 
@@ -971,16 +979,32 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "q38_hybrid_search",
     """
-    WITH kw_all AS (
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+    base AS (
+        SELECT doc_id, len(ws) AS dl,
+               len(list_filter(ws, w -> w = 'spark'))  AS tf0,
+               len(list_filter(ws, w -> w = 'join'))   AS tf1,
+               len(list_filter(ws, w -> w = 'window')) AS tf2
+        FROM toks),
+    stats AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(dl)::DOUBLE / COUNT(*) AS avgdl,
+               SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        FROM base),
+    kw_all AS (
         SELECT doc_id AS id,
-               len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w = 'spark'))
-             + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w = 'join'))
-             + len(list_filter(string_split_regex(lower(trim(text)), '\\s+'), w -> w = 'window'))
+               ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+             + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
                AS kscore
-        FROM documents),
+        FROM base, stats
+        WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
     kw AS (
         SELECT id, ROW_NUMBER() OVER (ORDER BY kscore DESC, id ASC) AS r
-        FROM (SELECT * FROM kw_all WHERE kscore > 0 ORDER BY kscore DESC, id ASC LIMIT 100)),
+        FROM (SELECT * FROM kw_all ORDER BY kscore DESC, id ASC LIMIT 100)),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
     vec_all AS (
         SELECT vec_id AS id,
@@ -1000,7 +1024,7 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q38(spark: SparkSession, sf: str) -> DataFrame:
-    """Hybrid search — the reference's core read path (ANN ∥ keyword →
+    """Hybrid search — the reference's core read path (BM25 ∥ ANN →
     weighted RRF, src/store/mod.rs:1194-1370) with the benchmark-winning
     0.3/0.7 keyword tilt (benchmark/RESULTS.md:17)."""
     from octocode_spark.operators.hybrid import hybrid_search
@@ -1011,6 +1035,45 @@ def q38(spark: SparkSession, sf: str) -> DataFrame:
         terms=["spark", "join", "window"],
         query_vec_id=0,
         k=20,
+    )
+
+
+@_q(
+    "q41_bm25_topk",
+    """
+    WITH toks AS (
+        SELECT doc_id, regexp_extract_all(lower(text), '[a-z0-9]+') AS ws FROM documents),
+    base AS (
+        SELECT doc_id, len(ws) AS dl,
+               len(list_filter(ws, w -> w = 'spark'))  AS tf0,
+               len(list_filter(ws, w -> w = 'join'))   AS tf1,
+               len(list_filter(ws, w -> w = 'window')) AS tf2
+        FROM toks),
+    stats AS (
+        SELECT COUNT(*)::DOUBLE AS n,
+               SUM(dl)::DOUBLE / COUNT(*) AS avgdl,
+               SUM(CASE WHEN tf0 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df0,
+               SUM(CASE WHEN tf1 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df1,
+               SUM(CASE WHEN tf2 > 0 THEN 1 ELSE 0 END)::DOUBLE AS df2
+        FROM base)
+    SELECT doc_id AS id,
+           ROUND(ln((n - df0 + 0.5) / (df0 + 0.5) + 1) * (tf0 * 2.2) / (tf0 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + ln((n - df1 + 0.5) / (df1 + 0.5) + 1) * (tf1 * 2.2) / (tf1 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl))
+               + ln((n - df2 + 0.5) / (df2 + 0.5) + 1) * (tf2 * 2.2) / (tf2 + 1.2 * (1.0 - 0.75 + 0.75 * dl / avgdl)), 6)
+             AS bm25
+    FROM base, stats
+    WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0
+    ORDER BY bm25 DESC, id ASC LIMIT 50
+    """,
+)
+def q41(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 full-text top-k (Q2 — the reference's FTS arm, idf + length
+    normalization with k1=1.2/b=0.75, src/store/mod.rs:1323-1367), pure
+    codegen expressions with a broadcast corpus-stats row."""
+    from octocode_spark.operators.hybrid import bm25_topk
+
+    return bm25_topk(
+        _t(spark, sf, "documents"), terms=["spark", "join", "window"], k=50
     )
 
 

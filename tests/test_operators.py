@@ -164,3 +164,42 @@ def test_streaming_continuous_merge(spark, tmp_path):
         .unionByName(updates.filter("not deleted").drop("deleted"))
     )
     assert table_digest(LakeTable.load(root).read(spark)) == table_digest(expected)
+
+
+def test_bm25_semantics(spark):
+    """BM25 pins: idf favors rare terms over common ones at equal tf;
+    doc-length normalization favors the shorter doc at equal tf; non-matching
+    docs are excluded; reference-computed score matches to 1e-9."""
+    import math
+
+    from octocode_spark.operators.hybrid import bm25_scores, bm25_topk
+
+    rows = [
+        (1, "spark spark filler filler filler filler"),             # tf(spark)=2, dl=6
+        (2, "spark spark filler filler filler filler filler "
+            "filler filler filler filler filler"),                  # tf=2, dl=12 (longer)
+        (3, "filler common common filler filler filler"),           # only 'common'
+        (4, "common filler filler filler filler filler"),
+        (5, "common filler filler filler filler filler"),
+        (6, "nothing relevant here at all whatsoever"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    got = {r["id"]: r["bm25"] for r in bm25_scores(docs, ["spark"]).collect()}
+    assert set(got) == {1, 2}                      # only matching docs
+    assert got[1] > got[2]                         # length normalization
+
+    # rare term ('spark', df=2) must outscore common term ('common', df=3)
+    # for a doc with the same tf and dl
+    s = {r["id"]: r["bm25"] for r in bm25_scores(docs, ["spark", "common"]).collect()}
+    assert s[1] > s[4]
+
+    # closed-form check against the textbook formula
+    n, avgdl = 6.0, (6 + 12 + 6 + 6 + 6 + 6) / 6.0
+    k1, b = 1.2, 0.75
+    idf = math.log((n - 2 + 0.5) / (2 + 0.5) + 1)
+    tf, dl = 2.0, 6.0
+    expect = idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dl / avgdl))
+    assert abs(got[1] - expect) < 1e-9
+
+    top = bm25_topk(docs, ["spark", "common"], k=3).collect()
+    assert [r["id"] for r in top] == sorted(s, key=lambda i: (-s[i], i))[:3]
