@@ -59,3 +59,86 @@ def weighted_rrf(
         .orderBy(F.col("rrf_score").desc(), F.col("id").asc())
     )
     return fused.limit(limit) if limit else fused
+
+
+def multi_query_rrf(
+    scored: DataFrame,
+    n_queries: int,
+    max_results: int,
+    query_col: str = "query_id",
+    id_col: str = "id",
+    score_col: str = "score",
+    ascending: bool = False,
+    k: int = RRF_K,
+) -> DataFrame:
+    """Batched multi-query fan-out + cross-query RRF dedup-merge (Q7+Q5 —
+    the reference executes N queries in one batch with per-query budget
+    max(2·max_results/n, 1) and merges by id keeping the best-ranked
+    representative, src/indexer/search.rs:1549-1665,1683-1737).
+
+    Spark-native shape: ALL queries live in ONE DataFrame tagged by
+    ``query_col``; the per-query candidate cut is a window partitioned by
+    query (one shuffle for every query simultaneously — the batching the
+    reference gets from its loop, for free at cluster scale), the merge is
+    a groupBy(id).
+
+    Returns (id, rrf_micro, n_queries_matched, rep_query, best_rank)
+    ordered by fused score desc. rrf_micro = Σ floor(1e15/(k+rank)) as a
+    BIGINT — integer-exact cross-engine, no float summation-order drift.
+    """
+    budget = max(2 * max_results // n_queries, 1)
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w = Window.partitionBy(query_col).orderBy(order, F.col(id_col).asc())
+    ranked = (
+        scored.withColumn("r", F.row_number().over(w))
+        .filter(F.col("r") <= budget)
+    )
+    fused = ranked.groupBy(id_col).agg(
+        F.sum(F.floor(F.lit(1e15) / (F.lit(k) + F.col("r"))).cast("long")).alias("rrf_micro"),
+        F.count(F.lit(1)).cast("long").alias("n_queries_matched"),
+        F.min_by(query_col, F.struct(F.col("r"), F.col(query_col))).alias("rep_query"),
+        F.min("r").cast("long").alias("best_rank"),
+    )
+    return fused.orderBy(F.col("rrf_micro").desc(), F.col(id_col).asc()).limit(max_results)
+
+
+def rank_normalize_cap(
+    scored: DataFrame,
+    cap: int,
+    modality_col: str = "modality",
+    id_col: str = "id",
+    score_col: str = "score",
+    ascending: bool = False,
+) -> DataFrame:
+    """Cross-modality rank-normalize + global cap (Q6 — fair sampling across
+    ranked lists whose raw scores are NOT comparable, e.g. BM25 vs cosine vs
+    recency, src/indexer/search.rs:758-834).
+
+    Each list's scores are replaced by the rank-derived value
+    norm = 1 − (rank−1)/(len−1)  ∈ [0,1]  (top of every list = 1.0),
+    ids appearing in several modalities keep their best-normalized entry
+    (deterministic modality tie-break), and the global top-``cap`` is taken
+    on the normalized scale. Two window passes + one filter — no UDFs, one
+    shuffle per window on the same (modality) key.
+    """
+    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    w_rank = Window.partitionBy(modality_col).orderBy(order, F.col(id_col).asc())
+    w_size = Window.partitionBy(modality_col)
+    ranked = scored.select(
+        F.col(id_col).alias("id"),
+        F.col(modality_col).alias("modality"),
+        F.row_number().over(w_rank).alias("r"),
+        F.count(F.lit(1)).over(w_size).alias("n"),
+    ).withColumn(
+        "norm",
+        F.when(F.col("n") > 1, F.lit(1.0) - (F.col("r") - 1) / (F.col("n") - 1)).otherwise(F.lit(1.0)),
+    )
+    w_dedup = Window.partitionBy("id").orderBy(F.col("norm").desc(), F.col("modality").asc())
+    deduped = ranked.withColumn("_pick", F.row_number().over(w_dedup)).filter(F.col("_pick") == 1)
+    return (
+        deduped.select(
+            "id", "modality", F.round("norm", 6).alias("norm"), F.col("r").cast("long").alias("r")
+        )
+        .orderBy(F.col("norm").desc(), F.col("id").asc())
+        .limit(cap)
+    )

@@ -1078,6 +1078,105 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "q42_multiquery_rrf",
+    """
+    WITH q AS (
+        SELECT vec_id AS query_id, embedding::DOUBLE[] AS qv
+        FROM embeddings WHERE vec_id <= 2),
+    scored AS (
+        SELECT q.query_id, e.vec_id AS id,
+               list_dot_product(e.embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(e.embedding::DOUBLE[], e.embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))) AS score
+        FROM embeddings e, q),
+    ranked AS (
+        SELECT query_id, id,
+               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS r
+        FROM scored),
+    kept AS (SELECT * FROM ranked WHERE r <= 13)
+    SELECT id,
+           SUM(CAST(FLOOR(1e15 / (60 + r)) AS BIGINT)) AS rrf_micro,
+           COUNT(*) AS n_queries_matched,
+           arg_min(query_id, r * 100 + query_id) AS rep_query,
+           CAST(MIN(r) AS BIGINT) AS best_rank
+    FROM kept GROUP BY id
+    ORDER BY rrf_micro DESC, id ASC LIMIT 20
+    """,
+)
+def q42(spark: SparkSession, sf: str) -> DataFrame:
+    """Batched multi-query ANN fan-out (Q7) + cross-query RRF merge (Q5):
+    3 simultaneous cosine queries in ONE DataFrame tagged by query_id,
+    per-query budget max(2·20/3,1)=13, fused by id keeping the best-ranked
+    representative query."""
+    from octocode_spark.operators.ann import cosine_sim
+    from octocode_spark.operators.rrf import multi_query_rrf
+
+    e = _t(spark, sf, "embeddings")
+    q = e.filter(F.col("vec_id") <= 2).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").cast("array<double>").alias("qv")
+    )
+    scored = e.join(F.broadcast(q)).select(
+        "query_id",
+        F.col("vec_id").alias("id"),
+        cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")).alias("score"),
+    )
+    return multi_query_rrf(scored, n_queries=3, max_results=20)
+
+
+@_q(
+    "q43_rank_normalize_cap",
+    """
+    WITH by_value AS (
+        SELECT user_id AS id, 'value' AS modality,
+               SUM(CAST(FLOOR(value * 10000.0) AS BIGINT)) AS score
+        FROM events GROUP BY user_id ORDER BY score DESC, id ASC LIMIT 50),
+    by_count AS (
+        SELECT user_id AS id, 'count' AS modality, COUNT(*) AS score
+        FROM events GROUP BY user_id ORDER BY score DESC, id ASC LIMIT 50),
+    u AS (SELECT * FROM by_value UNION ALL SELECT * FROM by_count),
+    ranked AS (
+        SELECT id, modality,
+               ROW_NUMBER() OVER (PARTITION BY modality ORDER BY score DESC, id ASC) AS r,
+               COUNT(*) OVER (PARTITION BY modality) AS n
+        FROM u),
+    normed AS (
+        SELECT id, modality, r,
+               CASE WHEN n > 1 THEN 1.0 - (r - 1) / (n - 1) ELSE 1.0 END AS norm
+        FROM ranked),
+    dedup AS (
+        SELECT id, modality, r, norm,
+               ROW_NUMBER() OVER (PARTITION BY id ORDER BY norm DESC, modality ASC) AS pick
+        FROM normed)
+    SELECT id, modality, ROUND(norm, 6) AS norm, CAST(r AS BIGINT) AS r
+    FROM dedup WHERE pick = 1
+    ORDER BY ROUND(norm, 6) DESC, id ASC LIMIT 30
+    """,
+)
+def q43(spark: SparkSession, sf: str) -> DataFrame:
+    """Cross-modality rank-normalize + cap (Q6): two ranked lists with
+    incomparable raw scales (money totals vs event counts) normalized to
+    rank space, deduped by id, globally capped."""
+    from octocode_spark.operators.rrf import rank_normalize_cap
+
+    ev = _t(spark, sf, "events")
+    by_value = (
+        ev.groupBy("user_id")
+        .agg(F.sum(_cents(F.col("value"), 10000)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("user_id").asc())
+        .limit(50)
+        .select(F.col("user_id").alias("id"), F.lit("value").alias("modality"), "score")
+    )
+    by_count = (
+        ev.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("score"))
+        .orderBy(F.col("score").desc(), F.col("user_id").asc())
+        .limit(50)
+        .select(F.col("user_id").alias("id"), F.lit("count").alias("modality"), "score")
+    )
+    return rank_normalize_cap(by_value.unionByName(by_count), cap=30)
+
+
+@_q(
     "q39_deterministic_sample",
     """
     SELECT source,

@@ -203,3 +203,52 @@ def test_bm25_semantics(spark):
 
     top = bm25_topk(docs, ["spark", "common"], k=3).collect()
     assert [r["id"] for r in top] == sorted(s, key=lambda i: (-s[i], i))[:3]
+
+
+def test_multi_query_rrf_budget_and_merge(spark):
+    """Per-query budget = max(2*max/n, 1); cross-query merge sums 1/(60+r)
+    contributions and keeps the best-ranked representative query."""
+    from octocode_spark.operators.rrf import multi_query_rrf
+
+    rows = []
+    # q0 ranks ids 1..5 by score desc; q1 ranks 3,4,5,6,7; q2 ranks only 3
+    for qid, ids in [(0, [1, 2, 3, 4, 5]), (1, [3, 4, 5, 6, 7]), (2, [3])]:
+        for pos, i in enumerate(ids):
+            rows.append((qid, i, 100.0 - pos))
+    scored = spark.createDataFrame(rows, "query_id: int, id: long, score: double")
+    # n=3, max_results=4 -> budget = max(8//3, 1) = 2: only top-2 per query count
+    out = multi_query_rrf(scored, n_queries=3, max_results=4).collect()
+    got = {r["id"]: r for r in out}
+    # id 3: rank1 in q1 and q2 (budget cut keeps both), rank3 in q0 (cut)
+    assert got[3]["n_queries_matched"] == 2
+    assert got[3]["rep_query"] == 1  # best rank 1, tie broken by min query_id
+    assert got[3]["best_rank"] == 1
+    # id 1: rank1 only in q0
+    assert got[1]["n_queries_matched"] == 1 and got[1]["rep_query"] == 0
+    # fused order: id3 (two rank-1/rank-2 hits) on top; exact integer math
+    micro = lambda r: int(1e15 // (60 + r))  # noqa: E731
+    assert got[3]["rrf_micro"] == micro(1) + micro(1)
+    assert out[0]["id"] == 3
+    assert len(out) == 4  # max_results cap
+
+
+def test_rank_normalize_cap_fair_across_scales(spark):
+    """Scores on wildly different scales contribute fairly after rank
+    normalization; per-id dedup keeps the best-normalized entry."""
+    from octocode_spark.operators.rrf import rank_normalize_cap
+
+    rows = [
+        ("big", 1, 1e9), ("big", 2, 5e8), ("big", 3, 1e8),
+        ("small", 3, 0.9), ("small", 4, 0.5), ("small", 5, 0.1),
+    ]
+    scored = spark.createDataFrame(rows, "modality: string, id: long, score: double")
+    out = rank_normalize_cap(scored, cap=10).collect()
+    got = {(r["id"]): r for r in out}
+    # both list tops get norm 1.0 despite 1e9 vs 0.9 raw scores
+    assert got[1]["norm"] == 1.0 and got[1]["modality"] == "big"
+    # id 3 appears in both lists: rank3 in big (norm 0) vs rank1 in small
+    # (norm 1.0) -> keeps the small entry
+    assert got[3]["norm"] == 1.0 and got[3]["modality"] == "small"
+    assert len(out) == 5  # ids 1..5 deduped
+    # cap enforced
+    assert len(rank_normalize_cap(scored, cap=2).collect()) == 2
