@@ -76,6 +76,24 @@ def lsh_signature(vec_col: str, dim: int, num_planes: int = 16) -> Column:
     return out
 
 
+def lsh_query_signature(query: list[float], num_planes: int) -> int:
+    """The query vector's hyperplane signature, computed ENTIRELY on the
+    driver (no 1-row Spark job): the pure-Python xxhash64 twin reproduces the
+    JVM plane derivation bit-for-bit, and the dot product follows the same
+    left-to-right IEEE accumulation order as ``F.aggregate``."""
+    from octocode_spark.functions.xxh import xxhash64_ints
+
+    sig = 0
+    for p in range(num_planes):
+        acc = 0.0
+        for i, x in enumerate(query):
+            s = 1.0 if xxhash64_ints(p, i) % 2 == 0 else -1.0
+            acc = acc + float(x) * s
+        if acc >= 0:
+            sig |= 1 << p
+    return sig
+
+
 def lsh_topk(
     vectors: DataFrame,
     query: list[float],
@@ -89,22 +107,91 @@ def lsh_topk(
     ``probe_hamming`` bits of the query's (multi-probe LSH)."""
     dim = len(query)
     sigged = vectors.withColumn("_sig", lsh_signature(vec_col, dim, num_planes))
-    qsig_row = (
-        vectors.sparkSession.range(1)
-        .select(lsh_signature_literal(query, num_planes).alias("s"))
-        .collect()[0]
-    )
-    qsig = qsig_row["s"]
+    qsig = lsh_query_signature(query, num_planes)
     cand = sigged.filter(F.bit_count(F.col("_sig").bitwiseXOR(F.lit(qsig))) <= probe_hamming)
     return brute_force_topk(cand, query, k, id_col, vec_col)
 
 
 def lsh_signature_literal(vec: list[float], num_planes: int) -> Column:
+    """JVM-side signature of a literal vector (kept as the equivalence-test
+    twin of lsh_query_signature)."""
     arr = F.array(*[F.lit(float(x)) for x in vec])
     sig = F.lit(0).cast("long")
     for p in range(num_planes):
         sig = sig + F.when(_hyperplane_sign(arr, p, len(vec)), F.lit(1 << p).cast("long")).otherwise(F.lit(0).cast("long"))
     return sig
+
+
+class IvfIndex:
+    """A built IVF index: coarse-quantizer centroids (driver-side, tiny) +
+    the cell-assigned corpus (distributed). ``assigned`` is what a real
+    deployment persists as a table partitioned/bucketed by ``_cell`` so the
+    search path prunes to n_probe/n_clusters of the corpus at the SCAN."""
+
+    def __init__(self, centroids, assigned: DataFrame, id_col: str, vec_col: str):
+        self.centroids = centroids  # list[np.ndarray]
+        self.assigned = assigned    # (id_col, vec_col, _cell)
+        self.id_col = id_col
+        self.vec_col = vec_col
+
+
+def build_ivf_index(
+    vectors: DataFrame,
+    n_clusters: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    train_fraction: float | None = None,
+    cache: bool = True,
+) -> IvfIndex:
+    """INDEX BUILD (run once, reuse for every query): k-means coarse
+    quantizer trained on the corpus (or a deterministic md5-bucket sample at
+    scale via ``train_fraction``), then one transform pass assigns every
+    vector to its cell.
+
+    The reference builds its vector index once at ingest and reuses it per
+    query (src/store/vector_optimizer.rs); the round-1 shape — KMeans.fit
+    inside the query path — is exactly what this split removes.
+    """
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    feat = vectors.select(
+        F.col(id_col), F.col(vec_col),
+        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+    )
+    train = feat
+    if train_fraction is not None and train_fraction < 1.0:
+        # deterministic, engine-portable sample (same trick as q39)
+        bucket = F.pmod(
+            F.conv(F.substring(F.md5(F.col(id_col).cast("string")), 1, 8), 16, 10).cast("long"),
+            F.lit(1_000_000),
+        )
+        train = feat.filter(bucket < int(train_fraction * 1_000_000))
+    km = KMeans(k=n_clusters, seed=42, featuresCol="_feat", predictionCol="_cell")
+    model = km.fit(train)
+    assigned = model.transform(feat).select(id_col, vec_col, "_cell")
+    if cache:
+        assigned = assigned.cache()
+    return IvfIndex(model.clusterCenters(), assigned, id_col, vec_col)
+
+
+def ivf_search(
+    index: IvfIndex,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """QUERY PATH: rank centroids against the query in numpy (driver-side,
+    n_clusters·dim flops — no Spark job), then exact cosine re-rank inside
+    the n_probe nearest cells only. No fitting, no full-corpus scan when
+    ``index.assigned`` is persisted partitioned by cell."""
+    import numpy as np
+
+    q = np.asarray(query, dtype=float)
+    dists = [float(np.linalg.norm(c - q)) for c in index.centroids]
+    probe_cells = sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
+    cand = index.assigned.filter(F.col("_cell").isin(probe_cells)).drop("_cell")
+    return brute_force_topk(cand, query, k, index.id_col, index.vec_col)
 
 
 def ivf_topk(
@@ -116,32 +203,10 @@ def ivf_topk(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
 ) -> DataFrame:
-    """IVF ANN: k-means coarse quantizer → probe the n_probe nearest
-    centroids → exact cosine re-rank inside those cells only.
-
-    The scale path for 10^9+ vectors: the assignment column becomes a
-    partition key, so a query scans n_probe/n_clusters of the corpus.
-    KMeans seed is fixed — same index layout on every build.
-    """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
-
-    feat = vectors.select(
-        F.col(id_col), F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
-    )
-    km = KMeans(k=n_clusters, seed=42, featuresCol="_feat", predictionCol="_cell")
-    model = km.fit(feat)
-    assigned = model.transform(feat).select(id_col, vec_col, "_cell")
-
-    import numpy as np
-
-    q = np.asarray(query, dtype=float)
-    centroids = model.clusterCenters()
-    dists = [float(np.linalg.norm(c - q)) for c in centroids]
-    probe_cells = sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
-    cand = assigned.filter(F.col("_cell").isin(probe_cells)).drop("_cell")
-    return brute_force_topk(cand, query, k, id_col, vec_col)
+    """One-shot convenience: build_ivf_index + ivf_search. Demo/battery use
+    only — amortize the build across queries via build_ivf_index."""
+    index = build_ivf_index(vectors, n_clusters, id_col, vec_col, cache=False)
+    return ivf_search(index, query, k, n_probe)
 
 
 def cosine_near_pairs(

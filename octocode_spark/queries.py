@@ -1203,13 +1203,16 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q("q40_ivf_ann_topk")  # no oracle: k-means index layout isn't SQL-expressible
 def q40(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN (k-means coarse quantizer, 2-probe) over the embeddings —
-    the scale path beside q17's exact baseline."""
-    from octocode_spark.operators.ann import ivf_topk
+    """IVF ANN over the embeddings — the scale path beside q17's exact
+    baseline. Build/search split: the coarse quantizer is trained ONCE
+    (index build), the query path only ranks centroids in numpy and probes
+    2 cells — no KMeans.fit per query."""
+    from octocode_spark.operators.ann import build_ivf_index, ivf_search
 
     e = _t(spark, sf, "embeddings")
     qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
-    return ivf_topk(e, qv, k=10, n_clusters=8, n_probe=2)
+    index = build_ivf_index(e, n_clusters=8, cache=False)
+    return ivf_search(index, qv, k=10, n_probe=2)
 
 
 @_q("q25_cluster_keys")  # no oracle: xxhash64 + pandas UDF not in DuckDB

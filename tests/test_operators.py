@@ -252,3 +252,45 @@ def test_rank_normalize_cap_fair_across_scales(spark):
     assert len(out) == 5  # ids 1..5 deduped
     # cap enforced
     assert len(rank_normalize_cap(scored, cap=2).collect()) == 2
+
+
+def test_ivf_build_search_split_recall(spark):
+    """Index built once, queried repeatedly with no KMeans.fit in the query
+    path; recall@10 vs the exact baseline >= 0.9 on clustered data."""
+    import numpy as np
+
+    from octocode_spark.operators.ann import brute_force_topk, build_ivf_index, ivf_search
+
+    rng = np.random.RandomState(11)
+    base = rng.randn(4, 16) * 4
+    rows = []
+    vid = 0
+    for c in range(4):
+        for _ in range(60):
+            v = base[c] + rng.randn(16) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").cache()
+    index = build_ivf_index(vecs, n_clusters=4)
+    hits = 0
+    for c in range(3):  # three queries against the SAME index
+        q = [float(x) for x in base[c]]
+        exact = {r["vec_id"] for r in brute_force_topk(vecs, q, k=10).collect()}
+        approx = {r["vec_id"] for r in ivf_search(index, q, k=10, n_probe=2).collect()}
+        hits += len(exact & approx)
+    assert hits / 30 >= 0.9  # recall@10 over 3 queries
+    index.assigned.unpersist()
+
+
+def test_lsh_query_signature_python_equals_jvm(spark):
+    """The driver-side (pure python xxhash64) query signature is bit-equal to
+    the JVM expression it replaced."""
+    import numpy as np
+
+    from octocode_spark.operators.ann import lsh_query_signature, lsh_signature_literal
+
+    rng = np.random.RandomState(3)
+    for _ in range(5):
+        vec = [float(x) for x in rng.randn(12)]
+        jvm = spark.range(1).select(lsh_signature_literal(vec, 10).alias("s")).collect()[0]["s"]
+        assert lsh_query_signature(vec, 10) == jvm

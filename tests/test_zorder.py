@@ -99,3 +99,25 @@ def test_cluster_key_deterministic_in_spark(spark):
     assert k1 == k2
     h1 = with_cluster_key(df, "hilbert").select("_zkey").collect()
     assert all(r["_zkey"] >= 0 for r in h1)
+
+
+def test_python_xxhash64_matches_jvm(spark):
+    """functions.xxh is a bit-exact twin of Spark's xxhash64 for chained
+    int and long inputs (the basis for driver-side LSH signatures)."""
+    from pyspark.sql import functions as F
+
+    from octocode_spark.functions.xxh import xxhash64_ints, xxhash64_longs
+
+    cases_int = [(0,), (1,), (7, 3), (42, 0), (-5, 123456), (2**31 - 1, -(2**31))]
+    cases_long = [(0,), (1,), (7, 3), (-99, 2**62), (123456789012345,), (-(2**63), 2**63 - 1)]
+    exprs = [
+        F.xxhash64(*[F.lit(int(x)) for x in c]).alias(f"i{i}") for i, c in enumerate(cases_int)
+    ] + [
+        F.xxhash64(*[F.lit(int(x)).cast("long") for x in c]).alias(f"l{i}")
+        for i, c in enumerate(cases_long)
+    ]
+    row = spark.range(1).select(*exprs).collect()[0]
+    for i, c in enumerate(cases_int):
+        assert xxhash64_ints(*c) == row[f"i{i}"]
+    for i, c in enumerate(cases_long):
+        assert xxhash64_longs(*c) == row[f"l{i}"]
