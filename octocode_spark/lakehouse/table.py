@@ -2,9 +2,10 @@
 
 Write path: Spark writes a staging directory (one job, fully parallel);
 the driver then renames finished part-files into ``data/<partition>/`` with
-unique names, harvests per-file min/max stats from parquet FOOTERS ONLY
-(metadata reads, no data IO — what Iceberg write tasks report distributedly),
-writes one manifest, and commits optimistically.
+unique names (zero-copy metadata step), a distributed job harvests per-file
+min/max stats from parquet FOOTERS ONLY (metadata reads, no data IO — what
+Iceberg write tasks report), and the driver writes one manifest and commits
+optimistically.
 
 Partition columns are kept INSIDE the data files (self-contained files,
 Iceberg-style); the ``source=<v>`` directory layout is derived from a shadow
@@ -25,9 +26,7 @@ import shutil
 import time
 import uuid
 from collections.abc import Callable
-from concurrent.futures import ThreadPoolExecutor
 
-import pyarrow.parquet as pq
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -163,10 +162,21 @@ class LakeTable:
             groups.setdefault(key, []).append(f)
         return groups
 
+    # distributed-harvest threshold: below this, a driver-side loop is faster
+    # than a Spark job's scheduling overhead (manifest-sized work)
+    HARVEST_DISTRIBUTED_MIN = 17
+
     # ------------------------------------------------------------------ write
     def _write_datafiles(self, df: DataFrame, sort_within: list[str] | None = None) -> list[DataFile]:
         """Run the Spark write job into staging, move files into data/,
-        harvest footer stats. Returns the new DataFiles (uncommitted)."""
+        harvest footer stats. Returns the new DataFiles (uncommitted).
+
+        The stat harvest (per-file rows/bytes/min-max from parquet FOOTERS)
+        runs as a Spark job over the file list when the commit adds more than
+        a handful of files — what Iceberg gets from its write tasks. At 100 TB
+        / 10^5 output files the driver keeps only the rename loop (zero-copy
+        metadata step) and the manifest+CAS; footer IO is executor-side. The
+        harvest closure is self-contained (no package import on workers)."""
         staging = os.path.join(self.root, "_tmp", uuid.uuid4().hex)
         part_cols = self.meta.partition_by
         writer_df = df
@@ -203,11 +213,61 @@ class LakeTable:
                 moved.append((rel, partition))
         shutil.rmtree(staging, ignore_errors=True)
 
-        stat_cols = self.meta.stat_cols
-        with ThreadPoolExecutor(max_workers=16) as pool:
-            dfiles = list(
-                pool.map(lambda mp: _harvest(self.root, mp[0], mp[1], stat_cols), moved)
-            )
+        stat_cols = list(self.meta.stat_cols)
+        root = self.root
+
+        def harvest_one(mp: tuple[str, dict[str, str]]):
+            """(rel, partition) -> (rel, partition, records, bytes, stats).
+            Self-contained: safe to ship to executors without the package."""
+            import os as _os
+
+            import pyarrow.parquet as _pq
+
+            rel, partition = mp
+            full = _os.path.join(root, rel)
+            size = _os.path.getsize(full)
+            md = _pq.ParquetFile(full).metadata
+            records = md.num_rows
+            name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
+            stats: dict[str, list] = {}
+            for col in stat_cols:
+                idx = name_to_idx.get(col)
+                if idx is None:
+                    continue
+                lo = hi = None
+                ok = True
+                for rg in range(md.num_row_groups):
+                    st = md.row_group(rg).column(idx).statistics
+                    if st is None or not st.has_min_max:
+                        ok = False
+                        break
+                    mn, mx = st.min, st.max
+                    if isinstance(mn, bytes):
+                        mn = mn.decode("utf-8", "replace")
+                    if isinstance(mx, bytes):
+                        mx = mx.decode("utf-8", "replace")
+                    lo = mn if lo is None else min(lo, mn)
+                    hi = mx if hi is None else max(hi, mx)
+                if ok and lo is not None:
+                    def _j(v):
+                        if hasattr(v, "item"):
+                            return v.item()
+                        if isinstance(v, (str, int, float, bool)) or v is None:
+                            return v
+                        return str(v)
+                    stats[col] = [_j(lo), _j(hi)]
+            return rel, partition, records, size, stats
+
+        if len(moved) >= self.HARVEST_DISTRIBUTED_MIN:
+            sc = df.sparkSession.sparkContext
+            slices = min(len(moved), sc.defaultParallelism * 2)
+            payloads = sc.parallelize(moved, numSlices=slices).map(harvest_one).collect()
+        else:
+            payloads = [harvest_one(mp) for mp in moved]
+        dfiles = [
+            DataFile(path=rel, partition=part, records=rec, bytes=size, stats=stats)
+            for rel, part, rec, size, stats in payloads
+        ]
         return [f for f in dfiles if f.records > 0]
 
     def _check_schema(self, df: DataFrame) -> None:
@@ -564,46 +624,6 @@ def _strip_scheme(p: str) -> str:
     if p.startswith("file://"):
         p = p[7:]
     return unquote(p)
-
-
-def _harvest(root: str, rel: str, partition: dict[str, str], stat_cols: list[str]) -> DataFile:
-    """Footer-only stat harvest: row count, byte size, per-column min/max."""
-    full = os.path.join(root, rel)
-    size = os.path.getsize(full)
-    pf = pq.ParquetFile(full)
-    md = pf.metadata
-    records = md.num_rows
-    name_to_idx = {md.schema.column(i).name: i for i in range(md.num_columns)}
-    stats: dict[str, list] = {}
-    for col in stat_cols:
-        idx = name_to_idx.get(col)
-        if idx is None:
-            continue
-        lo = hi = None
-        ok = True
-        for rg in range(md.num_row_groups):
-            st = md.row_group(rg).column(idx).statistics
-            if st is None or not st.has_min_max:
-                ok = False
-                break
-            mn, mx = st.min, st.max
-            if isinstance(mn, bytes):
-                mn = mn.decode("utf-8", "replace")
-            if isinstance(mx, bytes):
-                mx = mx.decode("utf-8", "replace")
-            lo = mn if lo is None else min(lo, mn)
-            hi = mx if hi is None else max(hi, mx)
-        if ok and lo is not None:
-            stats[col] = [_jsonable(lo), _jsonable(hi)]
-    return DataFile(path=rel, partition=partition, records=records, bytes=size, stats=stats)
-
-
-def _jsonable(v):
-    if hasattr(v, "item"):
-        return v.item()
-    if isinstance(v, (str, int, float, bool)) or v is None:
-        return v
-    return str(v)
 
 
 def stat_range_filter(col: str, lo=None, hi=None) -> Callable[[DataFile], bool]:
