@@ -33,6 +33,98 @@ def k_hop_neighbors(edges: DataFrame, seeds: DataFrame, k: int = 2,
     return visited
 
 
+def relationships_by_type(
+    edges: DataFrame,
+    rel_type: str | None = None,
+    node: str | None = None,
+    direction: str = "both",  # out | in | both
+    page_size: int = 100,
+    page: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+    type_col: str = "rel_type",
+) -> DataFrame:
+    """Typed/directed relationship query with pagination (Q12 — the
+    reference's get_relationships_by_type, src/store/graphrag.rs:1017:
+    filter by relationship type, by node + direction, deterministic order,
+    offset/limit pages).
+
+    Offset pagination needs a total order — (src, dst, type). The window is
+    computed AFTER the type/node filters so the sort touches only the
+    selected slice; at 10^12-edge scale prefer keyset pagination
+    (``F.struct(src, dst) > last_seen``), which composes with the same
+    filters — offset is the reference's API contract, so it's what ships.
+    """
+    from pyspark.sql import Window
+
+    out = edges
+    if rel_type is not None:
+        out = out.filter(F.col(type_col) == rel_type)
+    if node is not None:
+        if direction == "out":
+            cond = F.col(src) == node
+        elif direction == "in":
+            cond = F.col(dst) == node
+        else:
+            cond = (F.col(src) == node) | (F.col(dst) == node)
+        out = out.filter(cond)
+    w = Window.orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
+    out = out.withColumn("rn", F.row_number().over(w))
+    lo, hi = page * page_size, (page + 1) * page_size
+    return out.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+
+
+def shortest_path(
+    edges: DataFrame,
+    source_id: str,
+    target_id: str,
+    max_hops: int = 6,
+    src: str = "src",
+    dst: str = "dst",
+    directed: bool = True,
+) -> DataFrame:
+    """Deterministic shortest path: minimal hop count, lexicographically
+    smallest node sequence among equal-length paths (Q12 path-find,
+    reference GraphRAG ops src/store/mod.rs:972-1067).
+
+    Level-synchronous BFS: each hop is one (frontier ⋈ edges) + a
+    min-path-per-node contraction (arrays are orderable, so the contraction
+    is a plain ``min`` aggregate — map-side combinable, one shuffle per hop,
+    ≤ max_hops shuffles total). First-visit semantics make every kept path
+    simple; the per-node lexicographic min provably extends to the global
+    lexicographic-min shortest path. Returns 1 row (hops, path) or 0 rows.
+    """
+    spark = edges.sparkSession
+    e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+    if not directed:
+        e = e.unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))).distinct()
+    visited = spark.createDataFrame(
+        [(source_id, 0, [source_id])], "id: string, hops: int, path: array<string>"
+    )
+    if source_id == target_id:
+        return visited.select("hops", F.concat_ws("->", "path").alias("path"))
+    frontier = visited
+    for hop in range(1, max_hops + 1):
+        nxt = (
+            frontier.join(e, frontier.id == e._s)
+            .select(F.col("_d").alias("id"), F.concat("path", F.array("_d")).alias("path"))
+            .groupBy("id")
+            .agg(F.min("path").alias("path"))
+            .withColumn("hops", F.lit(hop))
+            .join(visited.select("id"), "id", "left_anti")
+        )
+        hit = nxt.filter(F.col("id") == target_id).select(
+            "hops", F.concat_ws("->", "path").alias("path")
+        )
+        if not hit.isEmpty():
+            return hit
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt.select("id", "hops", "path"))
+        frontier = nxt
+    return spark.createDataFrame([], "hops: int, path: string")
+
+
 def weighted_neighbor_scores(edges: DataFrame, seeds: DataFrame,
                              src: str = "src", dst: str = "dst",
                              weight: str = "weight", confidence: str = "confidence") -> DataFrame:

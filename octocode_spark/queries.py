@@ -1176,6 +1176,99 @@ def q43(spark: SparkSession, sf: str) -> DataFrame:
     return rank_normalize_cap(by_value.unionByName(by_count), cap=30)
 
 
+def _typed_edges(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed, directed knowledge-graph edges derived from the star schema:
+    customer/supplier -[in_nation]-> nation -[in_region]-> region -[in_world]->
+    world, orders -[placed_by]-> customer. The 'world' root guarantees global
+    connectivity for path queries."""
+    c = _t(spark, sf, "customer")
+    s = _t(spark, sf, "supplier")
+    n = _t(spark, sf, "nation")
+    o = _t(spark, sf, "orders")
+    return (
+        c.select(F.concat(F.lit("c:"), "c_custkey").alias("src"),
+                 F.concat(F.lit("n:"), "c_nationkey").alias("dst"),
+                 F.lit("in_nation").alias("rel_type"))
+        .unionByName(s.select(F.concat(F.lit("s:"), "s_suppkey").alias("src"),
+                              F.concat(F.lit("n:"), "s_nationkey").alias("dst"),
+                              F.lit("in_nation").alias("rel_type")))
+        .unionByName(n.select(F.concat(F.lit("n:"), "n_nationkey").alias("src"),
+                              F.concat(F.lit("r:"), "n_regionkey").alias("dst"),
+                              F.lit("in_region").alias("rel_type")))
+        .unionByName(n.select(F.concat(F.lit("r:"), "n_regionkey").alias("src"),
+                              F.lit("world").alias("dst"),
+                              F.lit("in_world").alias("rel_type")).distinct())
+        .unionByName(o.select(F.concat(F.lit("o:"), "o_orderkey").alias("src"),
+                              F.concat(F.lit("c:"), "o_custkey").alias("dst"),
+                              F.lit("placed_by").alias("rel_type")))
+    )
+
+
+_EDGES_SQL = """
+        SELECT 'c:' || c_custkey AS src, 'n:' || c_nationkey AS dst, 'in_nation' AS rel_type FROM customer
+        UNION ALL SELECT 's:' || s_suppkey, 'n:' || s_nationkey, 'in_nation' FROM supplier
+        UNION ALL SELECT 'n:' || n_nationkey, 'r:' || n_regionkey, 'in_region' FROM nation
+        UNION ALL SELECT DISTINCT 'r:' || n_regionkey, 'world', 'in_world' FROM nation
+        UNION ALL SELECT 'o:' || o_orderkey, 'c:' || o_custkey, 'placed_by' FROM orders
+"""
+
+
+@_q(
+    "q44_relationships_by_type",
+    f"""
+    WITH edges AS ({_EDGES_SQL}),
+    f AS (SELECT * FROM edges WHERE rel_type = 'in_nation' AND dst = 'n:7'),
+    p AS (SELECT src, dst, rel_type,
+                 ROW_NUMBER() OVER (ORDER BY src ASC, dst ASC, rel_type ASC) AS rn
+          FROM f)
+    SELECT src, dst, rel_type, CAST(rn AS BIGINT) AS rn
+    FROM p WHERE rn > 20 AND rn <= 40 ORDER BY rn
+    """,
+)
+def q44(spark: SparkSession, sf: str) -> DataFrame:
+    """Typed/directed relationship query with pagination (Q12 rest —
+    reference get_relationships_by_type): incoming in_nation edges of node
+    n:7, page 2 of 20."""
+    from octocode_spark.operators.graph import relationships_by_type
+
+    out = relationships_by_type(
+        _typed_edges(spark, sf), rel_type="in_nation", node="n:7",
+        direction="in", page_size=20, page=1,
+    )
+    return out.select("src", "dst", "rel_type", F.col("rn").cast("long").alias("rn")).orderBy("rn")
+
+
+@_q(
+    "q45_shortest_path",
+    f"""
+    WITH RECURSIVE edges AS ({_EDGES_SQL}),
+    undirected AS (
+        SELECT src, dst FROM edges UNION SELECT dst, src FROM edges),
+    walk(id, hops, path) AS (
+        SELECT 'c:1', 0, ['c:1']
+        UNION ALL
+        SELECT u.dst, w.hops + 1, list_append(w.path, u.dst)
+        FROM walk w JOIN undirected u ON u.src = w.id
+        WHERE w.hops < 6 AND NOT list_contains(w.path, u.dst))
+    SELECT CAST(hops AS BIGINT) AS hops, array_to_string(path, '->') AS path
+    FROM (SELECT hops, path FROM walk WHERE id = 'c:2'
+          ORDER BY hops ASC, path ASC LIMIT 1)
+    """,
+)
+def q45(spark: SparkSession, sf: str) -> DataFrame:
+    """Shortest path c:1 → c:2 over the undirected typed graph (Q12
+    path-find): level-synchronous BFS with per-node lexicographic-min
+    contraction; the DuckDB oracle enumerates all simple paths ≤ 6 hops
+    recursively and takes the same (hops, path) minimum."""
+    from octocode_spark.operators.graph import shortest_path
+
+    out = shortest_path(
+        _typed_edges(spark, sf).select("src", "dst"), "c:1", "c:2",
+        max_hops=6, directed=False,
+    )
+    return out.select(F.col("hops").cast("long").alias("hops"), "path")
+
+
 @_q(
     "q39_deterministic_sample",
     """

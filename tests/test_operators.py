@@ -294,3 +294,43 @@ def test_lsh_query_signature_python_equals_jvm(spark):
         vec = [float(x) for x in rng.randn(12)]
         jvm = spark.range(1).select(lsh_signature_literal(vec, 10).alias("s")).collect()[0]["s"]
         assert lsh_query_signature(vec, 10) == jvm
+
+
+def test_relationships_by_type_filter_direction_pagination(spark):
+    from octocode_spark.operators.graph import relationships_by_type
+
+    rows = [
+        ("a", "x", "knows"), ("b", "x", "knows"), ("c", "x", "knows"),
+        ("x", "a", "knows"), ("x", "y", "owns"), ("z", "x", "owns"),
+    ]
+    edges = spark.createDataFrame(rows, "src: string, dst: string, rel_type: string")
+    incoming = relationships_by_type(edges, rel_type="knows", node="x", direction="in",
+                                     page_size=2, page=0).collect()
+    assert [(r["src"], r["rn"]) for r in incoming] == [("a", 1), ("b", 2)]
+    page2 = relationships_by_type(edges, rel_type="knows", node="x", direction="in",
+                                  page_size=2, page=1).collect()
+    assert [(r["src"], r["rn"]) for r in page2] == [("c", 3)]
+    outgoing = relationships_by_type(edges, node="x", direction="out").collect()
+    assert {(r["src"], r["dst"]) for r in outgoing} == {("x", "a"), ("x", "y")}
+    both = relationships_by_type(edges, rel_type="owns", node="x", direction="both").collect()
+    assert {(r["src"], r["dst"]) for r in both} == {("x", "y"), ("z", "x")}
+
+
+def test_shortest_path_min_hops_and_lexicographic_tie(spark):
+    from octocode_spark.operators.graph import shortest_path
+
+    #   s -> b -> t   and   s -> a -> t   (tie at 2 hops: path via 'a' wins)
+    #   s -> c -> d -> t (longer, ignored);  island disconnected
+    rows = [("s", "b"), ("b", "t"), ("s", "a"), ("a", "t"),
+            ("s", "c"), ("c", "d"), ("d", "t"), ("i1", "i2")]
+    edges = spark.createDataFrame(rows, "src: string, dst: string")
+    got = shortest_path(edges, "s", "t", max_hops=5).collect()
+    assert len(got) == 1 and got[0]["hops"] == 2 and got[0]["path"] == "s->a->t"
+    # directed: no path t -> s; undirected: 2 hops back
+    assert shortest_path(edges, "t", "s", max_hops=5).collect() == []
+    back = shortest_path(edges, "t", "s", max_hops=5, directed=False).collect()
+    assert back[0]["hops"] == 2 and back[0]["path"] == "t->a->s"
+    # unreachable island
+    assert shortest_path(edges, "s", "i2", max_hops=5, directed=False).collect() == []
+    # source == target
+    assert shortest_path(edges, "s", "s").collect()[0]["hops"] == 0
