@@ -164,23 +164,27 @@ def _atomic_write_json(path: str, payload: dict) -> None:
 
 
 def write_metadata_exclusive(root: str, meta: TableMetadata) -> bool:
-    """The commit point: create v<N>.metadata.json with O_EXCL.
+    """The commit point: publish v<N>.metadata.json create-if-absent.
 
     Returns False if version N already exists (lost the race) — the caller
     reloads + retries. This is the CAS that makes every maintenance op one
     atomic snapshot (north rule) without any lock.
+
+    The payload is fully written to a temp file first and published with
+    ``os.link`` (atomic create-exclusive of a COMPLETE file) — a plain
+    O_EXCL-then-write would let a concurrent reader probing for the newest
+    version observe a half-written JSON.
     """
     path = metadata_path(root, meta.version)
+    tmp = f"{path}.tmp-{uuid.uuid4().hex}"
+    with open(tmp, "w") as fh:
+        json.dump(meta.to_json(), fh)
     try:
-        fd = os.open(path, os.O_CREAT | os.O_EXCL | os.O_WRONLY)
+        os.link(tmp, path)
     except FileExistsError:
         return False
-    try:
-        with os.fdopen(fd, "w") as fh:
-            json.dump(meta.to_json(), fh)
-    except BaseException:
-        os.unlink(path)
-        raise
+    finally:
+        os.unlink(tmp)
     # advisory hint; readers fall back to scanning for max N
     _atomic_write_hint(root, meta.version)
     return True

@@ -21,6 +21,7 @@ data movement itself is zero-copy rename).
 
 from __future__ import annotations
 
+import json
 import os
 import shutil
 import time
@@ -127,7 +128,12 @@ class LakeTable:
         snapshot_id: int | None = None,
         partition_filter: dict[str, str] | None = None,
         stat_filter: Callable[[DataFile], bool] | None = None,
+        branch: str | None = None,
     ) -> DataFrame:
+        if branch is not None:
+            if snapshot_id is not None:
+                raise ValueError("pass either snapshot_id or branch, not both")
+            snapshot_id = self.branch_head(branch)
         files = self.files(snapshot_id, partition_filter, stat_filter)
         return self.read_files(spark, files)
 
@@ -282,10 +288,151 @@ class LakeTable:
                 "evolve the table schema explicitly instead"
             )
 
-    def append(self, df: DataFrame) -> Snapshot:
+    # ------------------------------------------------------------------ schema evolution
+    def evolve_schema(self, new_schema: T.StructType) -> "LakeTable":
+        """Explicit schema evolution — the ONLY sanctioned way past the
+        fail-loudly drift check (the reference's drift policy is drop+rebuild,
+        src/store/mod.rs:260-314; the Iceberg analog is this metadata-only
+        commit). Rules: existing columns keep name and exact type (no silent
+        promotion), columns cannot be dropped, added columns must be nullable.
+        Old data files are read back with the evolved schema; Spark null-fills
+        the columns they predate. CAS-retried like every commit."""
+        while True:
+            meta = load_latest_metadata(self.root)
+            old = T.StructType.fromJson(meta.schema_json)
+            old_by_name = {f.name: f for f in old.fields}
+            new_names = {f.name for f in new_schema.fields}
+            dropped = [f.name for f in old.fields if f.name not in new_names]
+            if dropped:
+                raise ValueError(f"schema evolution cannot drop columns {dropped}")
+            for f in new_schema.fields:
+                prev = old_by_name.get(f.name)
+                if prev is not None:
+                    if f.dataType.simpleString() != prev.dataType.simpleString():
+                        raise ValueError(
+                            f"schema evolution cannot change type of {f.name}: "
+                            f"{prev.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                        )
+                elif not f.nullable:
+                    raise ValueError(f"added column {f.name} must be nullable")
+            new_meta = TableMetadata(
+                table_uuid=meta.table_uuid,
+                schema_json=new_schema.jsonValue(),
+                partition_by=meta.partition_by,
+                stat_cols=meta.stat_cols,
+                current_snapshot_id=meta.current_snapshot_id,
+                snapshots=meta.snapshots,
+                properties=meta.properties,
+                version=meta.version + 1,
+            )
+            if write_metadata_exclusive(self.root, new_meta):
+                self.meta = new_meta
+                return self
+            time.sleep(0.01)
+
+    def add_column(self, name: str, dtype) -> "LakeTable":
+        """Convenience ALTER TABLE ADD COLUMN (nullable)."""
+        if isinstance(dtype, str):
+            dtype = T._parse_datatype_string(dtype)
+        if name in {f.name for f in self.schema.fields}:
+            raise ValueError(f"column {name} already exists")
+        return self.evolve_schema(T.StructType(self.schema.fields + [T.StructField(name, dtype, True)]))
+
+    def append(self, df: DataFrame, branch: str | None = None) -> Snapshot:
         self._check_schema(df)
         added = self._write_datafiles(df)
-        return self._commit("append", added=added, replaced=[])
+        return self._commit("append", added=added, replaced=[], branch=branch)
+
+    # ------------------------------------------------------------------ WAP branches
+    # Write-Audit-Publish: snapshots committed to a named branch ref are
+    # invisible to main readers until publish() fast-forwards main — the
+    # reference's branch-delta overlay with fork-point anchor and
+    # refuse-if-main-moved (src/indexer/branch.rs:39-75,
+    # src/indexer/search.rs:720-746); Iceberg's WAP branch analog.
+
+    def _branch_key(self, name: str) -> str:
+        return f"branch:{name}"
+
+    def _branch_info(self, meta: TableMetadata, name: str) -> dict:
+        raw = meta.properties.get(self._branch_key(name))
+        if raw is None:
+            raise KeyError(f"branch {name!r} does not exist")
+        return json.loads(raw)
+
+    def branch_head(self, name: str) -> int:
+        return self._branch_info(self.refresh().meta, name)["head"]
+
+    def branches(self) -> dict[str, dict]:
+        return {
+            k[len("branch:"):]: json.loads(v)
+            for k, v in self.meta.properties.items()
+            if k.startswith("branch:")
+        }
+
+    def create_branch(self, name: str) -> int:
+        """Anchor a staging branch at the current main snapshot. Returns the
+        fork-point snapshot id."""
+        while True:
+            meta = load_latest_metadata(self.root)
+            if self._branch_key(name) in meta.properties:
+                raise ValueError(f"branch {name!r} already exists")
+            head = meta.current_snapshot_id
+            if head is None:
+                raise ValueError("cannot branch an empty table")
+            props = dict(meta.properties)
+            props[self._branch_key(name)] = json.dumps({"head": head, "fork_main": head})
+            if write_metadata_exclusive(self.root, self._with(meta, properties=props)):
+                self.refresh()
+                return head
+            time.sleep(0.01)
+
+    def publish_branch(self, name: str) -> int:
+        """Atomic fast-forward of main to the branch head. REFUSES (loudly)
+        when main moved past the fork point — the audited data was staged
+        against a stale base, so the caller must re-stage, not silently
+        overwrite concurrent commits. Returns the new main snapshot id."""
+        while True:
+            meta = load_latest_metadata(self.root)
+            info = self._branch_info(meta, name)
+            if meta.current_snapshot_id != info["fork_main"]:
+                raise CommitConflict(
+                    f"publish {name!r}: main moved to {meta.current_snapshot_id} "
+                    f"since fork point {info['fork_main']} — re-stage the branch"
+                )
+            props = dict(meta.properties)
+            del props[self._branch_key(name)]
+            new_meta = self._with(meta, properties=props, current_snapshot_id=info["head"])
+            if write_metadata_exclusive(self.root, new_meta):
+                self.meta = new_meta
+                return info["head"]
+            time.sleep(0.01)
+
+    def drop_branch(self, name: str) -> None:
+        """Abandon a staging branch (its snapshots become expirable)."""
+        while True:
+            meta = load_latest_metadata(self.root)
+            self._branch_info(meta, name)  # raises if missing
+            props = dict(meta.properties)
+            del props[self._branch_key(name)]
+            if write_metadata_exclusive(self.root, self._with(meta, properties=props)):
+                self.refresh()
+                return
+            time.sleep(0.01)
+
+    @staticmethod
+    def _with(meta: TableMetadata, **overrides) -> TableMetadata:
+        """Copy of ``meta`` at version+1 with field overrides."""
+        fields = {
+            "table_uuid": meta.table_uuid,
+            "schema_json": meta.schema_json,
+            "partition_by": meta.partition_by,
+            "stat_cols": meta.stat_cols,
+            "current_snapshot_id": meta.current_snapshot_id,
+            "snapshots": meta.snapshots,
+            "properties": meta.properties,
+        }
+        fields.update(overrides)
+        return TableMetadata(version=meta.version + 1, **fields)
 
     def overwrite_all(self, df: DataFrame) -> Snapshot:
         self._check_schema(df)
@@ -337,6 +484,7 @@ class LakeTable:
         replaced: list[str],
         summary: dict | None = None,
         max_retries: int = 20,
+        branch: str | None = None,
     ) -> Snapshot:
         """Optimistic commit: retried against fresh metadata on version races.
 
@@ -344,13 +492,20 @@ class LakeTable:
         longer live in the latest snapshot (someone else rewrote it) —
         CommitConflict lets the caller re-plan, mirroring Iceberg's
         CommitFailedException semantics.
+
+        With ``branch``, the snapshot's parent is the BRANCH head, the branch
+        ref advances, and main's current_snapshot_id stays put (WAP staging).
         """
         replaced_set = set(replaced)
         added_manifest = write_manifest(self.root, added) if added else None
         attempt = 0
         while True:
             meta = load_latest_metadata(self.root) if attempt else self.meta
-            parent = meta.snapshot()
+            if branch is not None:
+                binfo = self._branch_info(meta, branch)
+                parent = meta.snapshot(binfo["head"])
+            else:
+                parent = meta.snapshot()
             parent_manifests = list(parent.manifests) if parent else []
             if replaced_set:
                 live = set()
@@ -390,14 +545,23 @@ class LakeTable:
                     **(summary or {}),
                 },
             )
+            if branch is not None:
+                props = dict(meta.properties)
+                props[self._branch_key(branch)] = json.dumps(
+                    {"head": snap.snapshot_id, "fork_main": binfo["fork_main"]}
+                )
+                current = meta.current_snapshot_id
+            else:
+                props = meta.properties
+                current = snap.snapshot_id
             new_meta = TableMetadata(
                 table_uuid=meta.table_uuid,
                 schema_json=meta.schema_json,
                 partition_by=meta.partition_by,
                 stat_cols=meta.stat_cols,
-                current_snapshot_id=snap.snapshot_id,
+                current_snapshot_id=current,
                 snapshots=meta.snapshots + [snap],
-                properties=meta.properties,
+                properties=props,
                 version=meta.version + 1,
             )
             if write_metadata_exclusive(self.root, new_meta):
@@ -432,9 +596,18 @@ class LakeTable:
             keep: list[Snapshot] = []
             expired: list[int] = []
             expired_snaps: list[Snapshot] = []
+            branch_heads = {
+                json.loads(v)["head"]
+                for k, v in meta.properties.items()
+                if k.startswith("branch:")
+            }
             cutoff_idx = max(0, len(snaps) - retain_last)
             for i, s in enumerate(snaps):
-                retained = i >= cutoff_idx or s.snapshot_id == meta.current_snapshot_id
+                retained = (
+                    i >= cutoff_idx
+                    or s.snapshot_id == meta.current_snapshot_id
+                    or s.snapshot_id in branch_heads
+                )
                 too_old = older_than_ms is None or s.timestamp_ms < older_than_ms
                 if not retained and too_old:
                     expired.append(s.snapshot_id)

@@ -73,3 +73,49 @@ def test_append_rejects_schema_drift(spark, tmp_table_dir):
     bad2 = sequences(spark, 50, max_tok_cap=64).withColumn("n_tok", F.col("n_tok").cast("long"))
     with pytest.raises(ValueError, match="schema drift"):
         t.append(bad2)
+
+
+def test_schema_evolution_add_column_roundtrip(spark, tmp_table_dir):
+    """evolve -> old files null-fill -> new-schema append -> scan; the old
+    writer shape is rejected post-evolution (fail-loudly stays on)."""
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=300, small_files=2)
+    pre_rows = t.read(spark).count()
+
+    t.add_column("lang", "string")
+    got = t.read(spark)
+    assert got.schema["lang"].dataType.simpleString() == "string"
+    assert got.filter("lang is null").count() == pre_rows  # old files null-fill
+
+    fresh = (
+        sequences(spark, 320, max_tok_cap=64)
+        .filter("cast(substring(doc_id, -12, 12) as long) >= 300")
+        .withColumn("lang", F.lit("en"))
+    )
+    t.append(fresh)
+    assert t.read(spark).filter("lang = 'en'").count() == 20
+    assert t.read(spark).count() == pre_rows + 20
+
+    # old-shaped writers now fail loudly
+    with pytest.raises(ValueError, match="schema drift"):
+        t.append(sequences(spark, 10, max_tok_cap=64))
+    # a reloaded handle sees the evolved schema
+    assert "lang" in [f.name for f in LakeTable.load(tmp_table_dir).schema.fields]
+
+
+def test_schema_evolution_rejects_drops_and_type_changes(spark, tmp_table_dir):
+    from pyspark.sql import types as T
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=100, small_files=2)
+    with pytest.raises(ValueError, match="cannot drop"):
+        t.evolve_schema(T.StructType([f for f in t.schema.fields if f.name != "n_tok"]))
+    # same fields but n_tok int->long must be rejected
+    mutated = T.StructType([
+        T.StructField(f.name, T.LongType() if f.name == "n_tok" else f.dataType, f.nullable)
+        for f in t.schema.fields
+    ])
+    with pytest.raises(ValueError, match="cannot change type"):
+        t.evolve_schema(mutated)
+    with pytest.raises(ValueError, match="must be nullable"):
+        t.evolve_schema(T.StructType(t.schema.fields + [T.StructField("x", T.IntegerType(), False)]))
+    with pytest.raises(ValueError, match="already exists"):
+        t.add_column("n_tok", "int")

@@ -1,0 +1,88 @@
+"""Write-Audit-Publish staging branches (C6 full form): audit readers see
+the branch, main readers don't, publish is an atomic fast-forward that
+refuses when main moved past the fork point."""
+
+from __future__ import annotations
+
+import pytest
+
+from octocode_spark.datagen import sequences
+from octocode_spark.functions.digest import table_digest
+from octocode_spark.lakehouse import CommitConflict, LakeTable
+from tests.conftest import make_sequences_table
+
+
+def _rows_ge(spark, n_lo, n_hi):
+    return sequences(spark, n_hi, max_tok_cap=64).filter(
+        f"cast(substring(doc_id, -12, 12) as long) >= {n_lo}"
+    )
+
+
+def test_wap_stage_audit_publish(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=400, small_files=4, max_tok_cap=64)
+    main_digest = table_digest(t.read(spark))
+
+    t.create_branch("audit")
+    staged = _rows_ge(spark, 400, 450)  # 50 fresh rows
+    snap = t.append(staged, branch="audit")
+    assert snap.parent_id is not None
+
+    # main is untouched; the branch sees base + staged
+    assert table_digest(t.read(spark)) == main_digest
+    branch_df = t.read(spark, branch="audit")
+    assert branch_df.count() == 450
+    assert LakeTable.load(t.root).meta.current_snapshot_id != snap.snapshot_id
+
+    # audit passes -> publish fast-forwards main atomically
+    published = t.publish_branch("audit")
+    assert published == snap.snapshot_id
+    assert t.meta.current_snapshot_id == snap.snapshot_id
+    assert t.read(spark).count() == 450
+    assert t.branches() == {}
+    # a second writer handle sees the published state
+    assert LakeTable.load(t.root).read(spark).count() == 450
+
+
+def test_wap_publish_refuses_when_main_moved(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=300, small_files=4, max_tok_cap=64)
+    t.create_branch("audit")
+    t.append(_rows_ge(spark, 300, 330), branch="audit")
+    # concurrent writer advances MAIN past the fork point
+    t.append(_rows_ge(spark, 500, 520))
+    with pytest.raises(CommitConflict, match="main moved"):
+        t.publish_branch("audit")
+    # branch still live for re-staging; main unaffected by staged rows
+    assert t.read(spark).count() == 320
+    assert t.read(spark, branch="audit").count() == 330
+    t.drop_branch("audit")
+    assert t.branches() == {}
+
+
+def test_wap_branch_heads_survive_expiry(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=200, small_files=2, max_tok_cap=64)
+    t.create_branch("audit")
+    t.append(_rows_ge(spark, 200, 230), branch="audit")
+    head = t.branch_head("audit")
+    # churn main so old snapshots expire
+    t.append(_rows_ge(spark, 600, 620))
+    t.append(_rows_ge(spark, 700, 720))
+    t.expire_snapshots(retain_last=1)
+    # the branch head snapshot is protected and fully readable
+    ids = {s.snapshot_id for s in t.meta.snapshots}
+    assert head in ids
+    assert t.read(spark, branch="audit").count() == 230
+    # publish refuses (main moved) but the data was never lost
+    with pytest.raises(CommitConflict):
+        t.publish_branch("audit")
+
+
+def test_wap_multiple_branch_commits_chain(spark, tmp_table_dir):
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=100, small_files=2, max_tok_cap=64)
+    t.create_branch("audit")
+    s1 = t.append(_rows_ge(spark, 100, 120), branch="audit")
+    s2 = t.append(_rows_ge(spark, 120, 140), branch="audit")
+    assert s2.parent_id == s1.snapshot_id  # branch lineage chains
+    assert t.read(spark, branch="audit").count() == 140
+    assert t.read(spark).count() == 100
+    t.publish_branch("audit")
+    assert t.read(spark).count() == 140
