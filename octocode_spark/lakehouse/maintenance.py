@@ -27,7 +27,7 @@ from concurrent.futures import ThreadPoolExecutor
 from dataclasses import dataclass, field
 
 from pyspark.sql import SparkSession
-
+from pyspark.sql import functions as F
 
 from octocode_spark.functions.zorder import with_cluster_key
 from octocode_spark.lakehouse.ledger import Ledger
@@ -226,6 +226,67 @@ def rewrite_partitions(
     return res
 
 
+def _reducer_labels(n: int) -> list[int]:
+    """For each reducer i < n, a long x with pmod(murmur3(x), n) == i — so
+    ``repartition(n, route)`` places bucket i on EXACTLY reducer i. Computed
+    on the driver with the pure-python Murmur3 twin of Spark's HashPartitioning
+    expression (bit-equality pinned by test) — no Spark job, O(n·ln n) hashes."""
+    from octocode_spark.functions.xxh import murmur3_long
+
+    m: dict[int, int] = {}
+    x = 0
+    while len(m) < n:
+        p = murmur3_long(x) % n  # python % is already the nonneg pmod
+        if p not in m:
+            m[p] = x
+        x += 1
+        if x > 1_000_000:
+            raise RuntimeError(f"reducer label search incomplete: {len(m)}/{n}")
+    return [m[i] for i in range(n)]
+
+
+def _sample_bucket_cuts(
+    spark: SparkSession,
+    table: LakeTable,
+    todo: list[PartitionPlan],
+    cluster_by: str,
+    samples_per_file: int = 256,
+) -> list[tuple[PartitionPlan, int, list[int]]]:
+    """Per plan-partition zkey cut points from a COLUMN-PRUNED deterministic
+    sample — the RangePartitioner's job, without re-executing the fat scan.
+
+    The cluster key reads only (source, n_tok, doc_id); tokens — ~99% of the
+    row bytes — are never decoded here. Returns (plan, bucket_offset, cuts)
+    with offsets allocated in plan order."""
+    part_cols = table.meta.partition_by
+    need = sorted({*part_cols, "source", "n_tok", "doc_id"})
+    all_inputs = [f for p in todo for f in p.inputs]
+    total_rows = max(sum(p.records for p in todo), 1)
+    total_target = sum(p.target_files for p in todo)
+    frac = min(1.0, samples_per_file * total_target / total_rows)
+    narrow = table.read_files(spark, all_inputs).select(*need)
+    sampled = (
+        with_cluster_key(narrow, curve=cluster_by)
+        .filter(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(777)), F.lit(1_000_000))
+                < F.lit(int(frac * 1_000_000)))
+        .select(*part_cols, "_zkey")
+        .collect()
+    )
+    by_part: dict[tuple, list[int]] = {}
+    for r in sampled:
+        by_part.setdefault(tuple(str(r[c]) for c in part_cols), []).append(r["_zkey"])
+    out: list[tuple[PartitionPlan, int, list[int]]] = []
+    offset = 0
+    for p in todo:
+        key = tuple(str(p.partition.get(c)) for c in part_cols)
+        zs = sorted(by_part.get(key, []))
+        k = p.target_files
+        cuts = [zs[(j * len(zs)) // k] for j in range(1, k)] if len(zs) >= k else []
+        out.append((p, offset, cuts))
+        offset += max(len(cuts) + 1, 1)
+    return out
+
+
 def rewrite_global(
     spark: SparkSession,
     table: LakeTable,
@@ -233,19 +294,26 @@ def rewrite_global(
     ledger: Ledger | None = None,
     op: str = "compact",
     cluster_by: str | None = "zorder",
+    samples_per_file: int = 256,
+    assign: str = "routes",  # routes | range (repartitionByRange A/B twin)
 ) -> RewriteResult:
-    """Throughput mode: ONE scan + ONE range shuffle over every planned
-    partition, then per-partition atomic commits assembled from the grouped
-    output files.
+    """Throughput mode: ONE scan + ONE shuffle over every planned partition,
+    then per-partition atomic commits assembled from the grouped output files.
 
     vs rewrite_partitions (incremental mode): no per-partition job overhead
     and full-cluster parallelism on one shuffle — the right shape when most
     of the table needs rewriting (initial cluster, major compaction). Commit
     + ledger granularity is unchanged (still per partition); what coarsens is
     compute-resume: a kill before the write finishes replays the whole job.
-    Sorting on (source, _zkey) keeps range buckets inside partition
-    boundaries except at straddle points; the partitionBy router splits those
-    into at most one extra file per boundary.
+
+    Range assignment is done MANUALLY instead of ``repartitionByRange``:
+    (1) zkey cut points come from a column-pruned deterministic sample
+        (tokens never decoded — repartitionByRange's sampling pass would
+        re-execute the full fat scan, i.e. read the 100-TB table twice);
+    (2) each (partition, zkey-range) bucket is routed to EXACTLY one reducer
+        via murmur preimage labels, so every output file is single-partition-
+        valued with a disjoint zkey range by construction — no straddle
+        points, files_out == planned target exactly.
     """
     valid_ids = {s.snapshot_id for s in table.meta.snapshots}
     done_before = ledger.done_partitions(op, valid_ids) if ledger else set()
@@ -259,21 +327,68 @@ def rewrite_global(
         for p in todo:
             ledger.mark_pending(op, p.key)
     all_inputs = [f for p in todo for f in p.inputs]
-    total_target = sum(p.target_files for p in todo)
-    df = table.read_files(spark, all_inputs)
     part_cols = table.meta.partition_by
     if not cluster_by:
         raise ValueError(
             "rewrite_global is the clustering path; pure bin-packing is a "
             "per-partition coalesce — use rewrite_partitions(cluster_by=None)"
         )
+
+    if assign == "range":
+        total_target = sum(p.target_files for p in todo)
+        df = (
+            with_cluster_key(table.read_files(spark, all_inputs), curve=cluster_by)
+            .repartitionByRange(total_target, *part_cols, "_zkey")
+            .sortWithinPartitions(*part_cols, "_zkey")
+            .drop("_zkey")
+        )
+        added = table._write_datafiles(df)
+        return _commit_global(table, todo, added, ledger, op, cluster_by, res, t0)
+
+    routed = _sample_bucket_cuts(spark, table, todo, cluster_by, samples_per_file)
+    n_buckets = sum(max(len(cuts) + 1, 1) for _, _, cuts in routed)
+    labels = _reducer_labels(n_buckets)
+
+    zc = F.col("_zkey")
+    bucket = None
+    for p, offset, cuts in routed:
+        cond = None
+        for c in part_cols:
+            eq = F.col(c).cast("string") == F.lit(str(p.partition.get(c)))
+            cond = eq if cond is None else cond & eq
+        if cuts:
+            local = F.aggregate(
+                F.array(*[F.lit(int(x)).cast("long") for x in cuts]),
+                F.lit(0),
+                lambda acc, cut: acc + F.when(zc > cut, 1).otherwise(0),
+            )
+        else:
+            local = F.lit(0)
+        b = F.lit(offset) + local
+        if cond is None:  # unpartitioned table: single plan group
+            bucket = b
+        else:
+            bucket = F.when(cond, b) if bucket is None else bucket.when(cond, b)
+    # rows outside every plan partition are impossible by construction
+    # (inputs come only from plan files); element_at(..., 0) on the -1 route
+    # fails loudly under ANSI if that invariant ever breaks
+    if part_cols and bucket is not None:
+        bucket = bucket.otherwise(F.lit(-1))
+    label_arr = F.array(*[F.lit(int(x)).cast("long") for x in labels])
+
     df = (
-        with_cluster_key(df, curve=cluster_by)
-        .repartitionByRange(total_target, *part_cols, "_zkey")
-        .sortWithinPartitions(*part_cols, "_zkey")
-        .drop("_zkey")
+        with_cluster_key(table.read_files(spark, all_inputs), curve=cluster_by)
+        .withColumn("_route", F.element_at(label_arr, bucket.cast("int") + F.lit(1)))
+        .repartition(n_buckets, "_route")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", "_route")
     )
     added = table._write_datafiles(df)
+    return _commit_global(table, todo, added, ledger, op, cluster_by, res, t0)
+
+
+def _commit_global(table, todo, added, ledger, op, cluster_by, res, t0) -> RewriteResult:
+    """Per-partition atomic commits + ledger rows from one global write."""
     added_by_part: dict[str, list[DataFile]] = {}
     for f in added:
         added_by_part.setdefault(partition_key(f.partition), []).append(f)

@@ -446,12 +446,21 @@ class LakeTable:
     ) -> Snapshot:
         return self._commit(operation, added=added, replaced=replaced_paths, summary=summary)
 
-    def delete_where(self, spark: SparkSession, predicate) -> Snapshot | None:
+    def delete_where(
+        self,
+        spark: SparkSession,
+        predicate,
+        partition_filter: dict[str, str] | None = None,
+        stat_filter: Callable[[DataFile], bool] | None = None,
+    ) -> Snapshot | None:
         """Copy-on-write DELETE: rewrite only files containing matching rows.
 
-        ``predicate`` is a Column; file selection first prunes by stats when
-        possible (the caller can pre-filter), then a per-file anti-filter
-        rewrite. Analog of reference delete-by-predicate
+        ``predicate`` is a Column. File selection prunes METADATA-FIRST —
+        ``partition_filter`` / ``stat_filter`` (e.g. ``stat_range_filter``)
+        restrict the candidate scan to files whose manifest partition values
+        and min/max stats can possibly match, so at manifest scale the
+        confirm-scan never touches the whole table — then the per-file
+        anti-filter rewrite. Analog of reference delete-by-predicate
         (src/store/table_ops.rs:141-182) but file-granular, not table-scan.
 
         SQL DELETE semantics: a row is deleted iff the predicate is TRUE;
@@ -461,7 +470,7 @@ class LakeTable:
         from pyspark.sql import functions as F
 
         pred_true = F.coalesce(predicate.cast("boolean"), F.lit(False))
-        files = self.files()
+        files = self.files(partition_filter=partition_filter, stat_filter=stat_filter)
         if not files:
             return None
         src = self.read_files(spark, files).withColumn("_file", F.input_file_name())
