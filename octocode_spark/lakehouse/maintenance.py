@@ -264,7 +264,15 @@ def _sample_bucket_cuts(
     total_rows = max(sum(p.records for p in todo), 1)
     total_target = sum(p.target_files for p in todo)
     frac = min(1.0, samples_per_file * total_target / total_rows)
-    narrow = table.read_files(spark, all_inputs).select(*need)
+    # coalesce: the narrow scan of a 1000-file table would otherwise schedule
+    # one task per split for ~1% of the bytes — merge to core-count tasks so
+    # the sampling pass is dominated by IO, not scheduling (it is the serial
+    # prologue of the rewrite; every saved second feeds the scaling ratio)
+    narrow = (
+        table.read_files(spark, all_inputs)
+        .select(*need)
+        .coalesce(max(spark.sparkContext.defaultParallelism, 8))
+    )
     sampled = (
         with_cluster_key(narrow, curve=cluster_by)
         .filter(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(777)), F.lit(1_000_000))

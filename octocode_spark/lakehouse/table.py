@@ -343,6 +343,29 @@ class LakeTable:
         added = self._write_datafiles(df)
         return self._commit("append", added=added, replaced=[], branch=branch)
 
+    # ------------------------------------------------------------------ export / import
+    def export_snapshot(self, dest_root: str, snapshot_id: int | None = None) -> "LakeTable":
+        """S7 export: materialize one snapshot as a SELF-CONTAINED table at
+        ``dest_root`` — data files copied byte-for-byte, manifests rebuilt
+        with the already-harvested stats (no data re-read, no Spark job).
+        Import is just ``LakeTable.load(dest_root)``; the export is a normal
+        table (relative paths ⇒ relocatable), fully detached from the source.
+        Reference analog: metadata portability of the index directory."""
+        files = self.files(snapshot_id)
+        props = {k: v for k, v in self.meta.properties.items() if not k.startswith("branch:")}
+        out = LakeTable.create(
+            dest_root, self.schema,
+            partition_by=list(self.meta.partition_by),
+            stat_cols=list(self.meta.stat_cols),
+            properties=props,
+        )
+        for f in files:
+            dst = os.path.join(dest_root, f.path)
+            os.makedirs(os.path.dirname(dst), exist_ok=True)
+            shutil.copy2(os.path.join(self.root, f.path), dst)
+        out._commit("import", added=files, replaced=[])
+        return out
+
     # ------------------------------------------------------------------ WAP branches
     # Write-Audit-Publish: snapshots committed to a named branch ref are
     # invisible to main readers until publish() fast-forwards main — the

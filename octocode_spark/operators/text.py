@@ -93,6 +93,43 @@ def rolling_hash64(text: Column) -> Column:
     return F.xxhash64(canon)
 
 
+def expand_by_shared_terms(
+    docs: DataFrame,
+    seeds: DataFrame,
+    min_len: int = 6,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Symbol expansion (Q8 — the reference expands a result set with
+    documents sharing extracted symbols, src/indexer/search.rs symbol
+    fan-out): explode each document's identifier-ish terms (lowercase alnum
+    runs of ≥ min_len chars, distinct per doc), equi-join expansion docs to
+    seed docs on the shared term, score by the number of DISTINCT shared
+    terms. Seeds themselves are excluded.
+
+    Shape: explode → two semi/equi joins on the term — never a cross join;
+    the term explode is the LSH-band trick applied to symbols (J3).
+    ``seeds`` is a DataFrame with the id column (broadcast when small).
+    """
+    pattern = "[a-z][a-z0-9_]{%d,}" % (min_len - 1)
+    terms = docs.select(
+        F.col(id_col).alias("id"),
+        F.explode(
+            F.array_distinct(F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(pattern), 0))
+        ).alias("term"),
+    )
+    seed_ids = seeds.select(F.col(id_col).alias("id")).distinct()
+    seed_terms = (
+        terms.join(F.broadcast(seed_ids), "id", "left_semi").select("term").distinct()
+    )
+    return (
+        terms.join(F.broadcast(seed_ids), "id", "left_anti")
+        .join(seed_terms, "term", "left_semi")
+        .groupBy("id")
+        .agg(F.count_distinct(F.col("term")).alias("shared_terms"))
+    )
+
+
 def analyze_documents(docs: DataFrame, text_col: str = "text") -> DataFrame:
     t = F.col(text_col)
     return docs.select(

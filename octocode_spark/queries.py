@@ -1270,6 +1270,31 @@ def q45(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "q46_symbol_expansion",
+    """
+    WITH terms AS (
+        SELECT doc_id AS id,
+               unnest(list_distinct(regexp_extract_all(lower(text), '[a-z][a-z0-9_]{5,}'))) AS term
+        FROM documents),
+    seed_terms AS (SELECT DISTINCT term FROM terms WHERE id < 5)
+    SELECT id, CAST(COUNT(DISTINCT term) AS BIGINT) AS shared_terms
+    FROM terms
+    WHERE id >= 5 AND term IN (SELECT term FROM seed_terms)
+    GROUP BY id ORDER BY id
+    """,
+)
+def q46(spark: SparkSession, sf: str) -> DataFrame:
+    """Symbol expansion (Q8): expand the seed set (doc_id < 5) with documents
+    sharing extracted identifier-ish terms, scored by distinct shared terms
+    — explode + equi-joins, never a cross join."""
+    from octocode_spark.operators.text import expand_by_shared_terms
+
+    d = _t(spark, sf, "documents")
+    out = expand_by_shared_terms(d, d.filter(F.col("doc_id") < 5), min_len=6)
+    return out.select(F.col("id"), F.col("shared_terms").cast("long").alias("shared_terms")).orderBy("id")
+
+
+@_q(
     "q39_deterministic_sample",
     """
     SELECT source,

@@ -153,3 +153,27 @@ def test_orphan_gc_grace_window_spares_recent_files(spark, tmp_table_dir):
     assert os.path.join("data", "stray-fresh.parquet") in removed2
     assert not os.path.exists(fresh)
     assert t.read(spark).count() == 200
+
+
+def test_export_snapshot_roundtrip_and_detachment(spark, tmp_table_dir, tmp_path):
+    """S7: export a pinned snapshot to a standalone table; importing is just
+    load(); the export stays intact while the source keeps evolving."""
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=400, small_files=4, max_tok_cap=64)
+    pin = t.meta.current_snapshot_id
+    golden = table_digest(t.read(spark, snapshot_id=pin))
+
+    dest = str(tmp_path / "export")
+    exported = t.export_snapshot(dest, snapshot_id=pin)
+    assert table_digest(exported.read(spark)) == golden
+    # manifest stats travel with the export (no re-harvest)
+    assert all("n_tok" in f.stats for f in exported.files())
+
+    # source evolves; export is detached
+    t.overwrite_all(t.read(spark).filter("n_tok > 64"))
+    imported = LakeTable.load(dest)
+    assert table_digest(imported.read(spark)) == golden
+    # and the export is a fully functional table (can append independently)
+    extra = sequences(spark, 420, max_tok_cap=64).filter(
+        "cast(substring(doc_id, -12, 12) as long) >= 400")
+    imported.append(extra)
+    assert imported.read(spark).count() == 420
