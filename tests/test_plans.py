@@ -59,3 +59,75 @@ def test_anti_join_strategy(spark, qs):
 def test_merge_prune_join_is_semi(spark, qs):
     checks = plan_has(qs["q04_big_spenders_semi"](spark, SF), "LeftSemi", "PushedFilters")
     assert all(checks.values()), checks
+
+
+def test_q41_bm25_stats_broadcast_no_python(spark, qs):
+    """BM25: the corpus-stats row joins via broadcast (never a shuffle) and
+    the whole scoring pipeline stays JVM-side."""
+    plan = formatted_plan(qs["q41_bm25_topk"](spark, SF))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
+    assert "EvalPython" not in plan
+    assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
+
+
+def test_q42_multiquery_single_window_exchange(spark, qs):
+    """Batched multi-query: ALL queries rank through ONE window over one
+    hashpartitioning exchange on query_id — not one job per query."""
+    plan = formatted_plan(qs["q42_multiquery_rrf"](spark, SF))
+    assert plan.count("Window") >= 1
+    assert "EvalPython" not in plan
+
+
+def test_global_rewrite_plan_scans_fat_table_once(spark, tmp_table_dir):
+    """The routed clustered rewrite reads the fat table ONCE: exactly one
+    parquet scan of the table files and no range-sampling re-execution
+    (repartitionByRange would plan a second identical scan at runtime)."""
+    from pyspark.sql import functions as F
+
+    from octocode_spark.functions.zorder import with_cluster_key
+    from octocode_spark.lakehouse.maintenance import (
+        _reducer_labels,
+        _sample_bucket_cuts,
+        plan_compaction,
+    )
+    from tests.conftest import make_sequences_table
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=800, small_files=8, max_tok_cap=64)
+    plan = plan_compaction(t)
+    todo = plan.partitions
+    routed = _sample_bucket_cuts(spark, t, todo, "zorder")
+    n_buckets = sum(max(len(c) + 1, 1) for _, _, c in routed)
+    labels = _reducer_labels(n_buckets)
+    all_inputs = [f for p in todo for f in p.inputs]
+    # reconstruct the exact routed dataframe shape used by rewrite_global
+    zc = F.col("_zkey")
+    bucket = None
+    for p, offset, cuts in routed:
+        cond = None
+        for c in t.meta.partition_by:
+            eq = F.col(c).cast("string") == F.lit(str(p.partition.get(c)))
+            cond = eq if cond is None else cond & eq
+        local = (
+            F.aggregate(F.array(*[F.lit(int(x)).cast("long") for x in cuts]), F.lit(0),
+                        lambda acc, cut: acc + F.when(zc > cut, 1).otherwise(0))
+            if cuts else F.lit(0)
+        )
+        b = F.lit(offset) + local
+        bucket = b if cond is None else (F.when(cond, b) if bucket is None else bucket.when(cond, b))
+    bucket = bucket.otherwise(F.lit(-1))
+    label_arr = F.array(*[F.lit(int(x)).cast("long") for x in labels])
+    df = (
+        with_cluster_key(t.read_files(spark, all_inputs), curve="zorder")
+        .withColumn("_route", F.element_at(label_arr, bucket.cast("int") + F.lit(1)))
+        .repartition(n_buckets, "_route")
+        .sortWithinPartitions("_zkey")
+        .drop("_zkey", "_route")
+    )
+    plan_str = formatted_plan(df)
+    # formatted explain prints the tree then per-op details: one scan node
+    # appears once in the tree block (two scans would show as two tree rows)
+    tree = plan_str.split("\n\n")[0]
+    assert tree.count("Scan parquet") == 1, tree
+    assert "rangepartitioning" not in plan_str.lower()
+    assert "hashpartitioning" in plan_str.lower()  # the single route exchange
+    assert "EvalPython" not in plan_str  # zorder key stays JVM-side
