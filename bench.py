@@ -187,6 +187,9 @@ def _one_rewrite(spark, input_root: str, tag: str, cluster_by: str | None):
     return secs, res
 
 
+MAINT_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+
+
 def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 2,
                             cluster_by: str | None = "zorder",
                             max_extra_rounds: int = 3) -> dict[int, dict]:
@@ -197,8 +200,13 @@ def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 2,
     rounds per level. If after the planned rounds the big level still shows
     no speedup (both its samples landed in contended windows), up to
     ``max_extra_rounds`` more interleaved rounds are added — bounded
-    persistence, not cherry-picking: minima per level remain the statistic."""
+    persistence, not cherry-picking: minima per level remain the statistic.
+
+    A wall-clock budget (MAINT_BUDGET_S) caps the whole phase: in the worst
+    contended windows one rewrite has measured 9× its clean-window time, and
+    an unbounded retry loop could outlive the driver's patience."""
     best: dict[int, tuple[float, object]] = {}
+    t_phase = time.monotonic()
 
     def one_round(rnd: int) -> None:
         for cores in levels:
@@ -213,9 +221,12 @@ def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 2,
 
     for rnd in range(rounds):
         one_round(rnd)
+        if rnd + 1 < rounds and time.monotonic() - t_phase > MAINT_BUDGET_S:
+            break
     extra = 0
     while (
         extra < max_extra_rounds
+        and time.monotonic() - t_phase < MAINT_BUDGET_S
         and best[levels[-1]][0] * 1.2 > best[levels[0]][0]  # <1.2× speedup so far
     ):
         one_round(rounds + extra)
