@@ -231,16 +231,21 @@ def _reducer_labels(n: int) -> list[int]:
     ``repartition(n, route)`` places bucket i on EXACTLY reducer i. Computed
     on the driver with the pure-python Murmur3 twin of Spark's HashPartitioning
     expression (bit-equality pinned by test) — no Spark job, O(n·ln n) hashes."""
+    import math
+
     from octocode_spark.functions.xxh import murmur3_long
 
     m: dict[int, int] = {}
     x = 0
+    # coupon collector needs ~n(ln n + γ) probes; give 4× headroom so even
+    # 10^5-output-file plans (the design scale) complete with margin
+    limit = max(1_000_000, 4 * int(n * (math.log(n) + 1)))
     while len(m) < n:
         p = murmur3_long(x) % n  # python % is already the nonneg pmod
         if p not in m:
             m[p] = x
         x += 1
-        if x > 1_000_000:
+        if x > limit:
             raise RuntimeError(f"reducer label search incomplete: {len(m)}/{n}")
     return [m[i] for i in range(n)]
 
@@ -261,9 +266,24 @@ def _sample_bucket_cuts(
     part_cols = table.meta.partition_by
     need = sorted({*part_cols, "source", "n_tok", "doc_id"})
     all_inputs = [f for p in todo for f in p.inputs]
-    total_rows = max(sum(p.records for p in todo), 1)
-    total_target = sum(p.target_files for p in todo)
-    frac = min(1.0, samples_per_file * total_target / total_rows)
+    # PER-PARTITION sample rate: a single global rate undersamples fat-row
+    # partitions (few rows per byte ⇒ fewer samples than target_files ⇒ the
+    # whole partition would collapse to one bucket/one straggler file)
+    def _thr(p: PartitionPlan) -> int:
+        return int(min(1.0, samples_per_file * p.target_files / max(p.records, 1)) * 1_000_000)
+
+    thr = None
+    for p in todo:
+        cond = None
+        for c in part_cols:
+            eq = F.col(c).cast("string") == F.lit(str(p.partition.get(c)))
+            cond = eq if cond is None else cond & eq
+        if cond is None:  # unpartitioned: one plan group
+            thr = F.lit(_thr(p))
+        else:
+            thr = F.when(cond, _thr(p)) if thr is None else thr.when(cond, _thr(p))
+    if part_cols and thr is not None:
+        thr = thr.otherwise(F.lit(0))
     # coalesce: the narrow scan of a 1000-file table would otherwise schedule
     # one task per split for ~1% of the bytes — merge to core-count tasks so
     # the sampling pass is dominated by IO, not scheduling (it is the serial
@@ -275,8 +295,7 @@ def _sample_bucket_cuts(
     )
     sampled = (
         with_cluster_key(narrow, curve=cluster_by)
-        .filter(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(777)), F.lit(1_000_000))
-                < F.lit(int(frac * 1_000_000)))
+        .filter(F.pmod(F.xxhash64(F.col("doc_id"), F.lit(777)), F.lit(1_000_000)) < thr)
         .select(*part_cols, "_zkey")
         .collect()
     )

@@ -215,7 +215,13 @@ class LakeTable:
                 )
                 os.makedirs(os.path.join(self.root, part_dir), exist_ok=True)
                 rel = os.path.join(part_dir, f"{uuid.uuid4().hex}.parquet")
-                os.rename(os.path.join(dirpath, name), os.path.join(self.root, rel))
+                try:
+                    os.rename(os.path.join(dirpath, name), os.path.join(self.root, rel))
+                except FileNotFoundError:
+                    # a concurrent GC's empty-dir prune can rmdir the partition
+                    # dir between our makedirs and the rename — recreate + retry
+                    os.makedirs(os.path.join(self.root, part_dir), exist_ok=True)
+                    os.rename(os.path.join(dirpath, name), os.path.join(self.root, rel))
                 moved.append((rel, partition))
         shutil.rmtree(staging, ignore_errors=True)
 
@@ -312,6 +318,12 @@ class LakeTable:
                         raise ValueError(
                             f"schema evolution cannot change type of {f.name}: "
                             f"{prev.dataType.simpleString()} -> {f.dataType.simpleString()}"
+                        )
+                    if prev.nullable and not f.nullable:
+                        # committed files may hold NULLs; a non-nullable read
+                        # schema lets the optimizer prune IsNotNull filters
+                        raise ValueError(
+                            f"schema evolution cannot make {f.name} non-nullable"
                         )
                 elif not f.nullable:
                     raise ValueError(f"added column {f.name} must be nullable")

@@ -25,6 +25,10 @@ def k_hop_neighbors(edges: DataFrame, seeds: DataFrame, k: int = 2,
             .select(F.col(dst).alias("id"), F.lit(hop).alias("hops"))
             .distinct()
             .join(visited.select("id"), "id", "left_anti")
+            # truncate lineage per level: each level is consumed 3× (empty
+            # probe, union, next join) and the result outlives the loop —
+            # without this, level h re-runs all h-1 previous joins
+            .localCheckpoint(eager=True)
         )
         if nxt.isEmpty():
             break
@@ -104,25 +108,38 @@ def shortest_path(
     if source_id == target_id:
         return visited.select("hops", F.concat_ws("->", "path").alias("path"))
     frontier = visited
-    for hop in range(1, max_hops + 1):
-        nxt = (
-            frontier.join(e, frontier.id == e._s)
-            .select(F.col("_d").alias("id"), F.concat("path", F.array("_d")).alias("path"))
-            .groupBy("id")
-            .agg(F.min("path").alias("path"))
-            .withColumn("hops", F.lit(hop))
-            .join(visited.select("id"), "id", "left_anti")
-        )
-        hit = nxt.filter(F.col("id") == target_id).select(
-            "hops", F.concat_ws("->", "path").alias("path")
-        )
-        if not hit.isEmpty():
-            return hit
-        if nxt.isEmpty():
-            break
-        visited = visited.unionByName(nxt.select("id", "hops", "path"))
-        frontier = nxt
-    return spark.createDataFrame([], "hops: int, path: string")
+    cached: list[DataFrame] = []
+    try:
+        for hop in range(1, max_hops + 1):
+            # persist each level: the level is consumed up to 3× (hit probe,
+            # next frontier join, visited union) — without the cache, hop h
+            # re-executes every previous frontier⋈edges join from scratch
+            nxt = (
+                frontier.join(e, frontier.id == e._s)
+                .select(F.col("_d").alias("id"), F.concat("path", F.array("_d")).alias("path"))
+                .groupBy("id")
+                .agg(F.min("path").alias("path"))
+                .withColumn("hops", F.lit(hop))
+                .join(visited.select("id"), "id", "left_anti")
+                .persist()
+            )
+            cached.append(nxt)
+            if nxt.count() == 0:  # count (not isEmpty) fully materializes the cache
+                break
+            hit = nxt.filter(F.col("id") == target_id).select(
+                "hops", F.concat_ws("->", "path").alias("path")
+            ).collect()
+            if hit:
+                # decouple the 1-row result from the cached lineage
+                return spark.createDataFrame(
+                    [(r["hops"], r["path"]) for r in hit], "hops: int, path: string"
+                )
+            visited = visited.unionByName(nxt.select("id", "hops", "path"))
+            frontier = nxt
+        return spark.createDataFrame([], "hops: int, path: string")
+    finally:
+        for c in cached:
+            c.unpersist()
 
 
 def weighted_neighbor_scores(edges: DataFrame, seeds: DataFrame,

@@ -59,6 +59,8 @@ def bm25_scores(
     The stats row is broadcast, so the score pass stays embarrassingly
     parallel at any corpus size.
     """
+    if not terms:
+        raise ValueError("bm25_scores requires at least one query term")
     terms = [t.lower() for t in terms]
     toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
 

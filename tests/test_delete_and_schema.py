@@ -119,3 +119,16 @@ def test_schema_evolution_rejects_drops_and_type_changes(spark, tmp_table_dir):
         t.evolve_schema(T.StructType(t.schema.fields + [T.StructField("x", T.IntegerType(), False)]))
     with pytest.raises(ValueError, match="already exists"):
         t.add_column("n_tok", "int")
+
+
+def test_schema_evolution_rejects_nullability_flip(spark, tmp_table_dir):
+    from pyspark.sql import types as T
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=100, small_files=2)
+    t.add_column("lang", "string")  # nullable by rule; old files hold NULLs
+    flipped = T.StructType([
+        T.StructField(f.name, f.dataType, False if f.name == "lang" else f.nullable)
+        for f in t.schema.fields
+    ])
+    with pytest.raises(ValueError, match="non-nullable"):
+        t.evolve_schema(flipped)

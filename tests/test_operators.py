@@ -334,3 +334,13 @@ def test_shortest_path_min_hops_and_lexicographic_tie(spark):
     assert shortest_path(edges, "s", "i2", max_hops=5, directed=False).collect() == []
     # source == target
     assert shortest_path(edges, "s", "s").collect()[0]["hops"] == 0
+
+
+def test_bm25_rejects_empty_terms(spark):
+    import pytest as _pytest
+
+    from octocode_spark.operators.hybrid import bm25_scores
+
+    docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
+    with _pytest.raises(ValueError, match="at least one"):
+        bm25_scores(docs, [])
