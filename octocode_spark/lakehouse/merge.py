@@ -56,16 +56,21 @@ def merge_into(
     deleted_col: str = "deleted",
     ledger: Ledger | None = None,
     salt_buckets: int = 0,
+    branch: str | None = None,
 ) -> MergeStats:
     """Run the MERGE. ``source`` must carry the table schema + optional
-    ``deleted`` flag column."""
+    ``deleted`` flag column.
+
+    With ``branch``, the MERGE reads from and commits to the WAP staging
+    branch: main readers see nothing until ``publish_branch`` — the full
+    Write-Audit-Publish shape for a bulk upsert."""
     data_cols = [f.name for f in table.schema.fields]
     has_delete = deleted_col in source.columns
     src = source.select(*data_cols, *( [deleted_col] if has_delete else [] )).cache()
     n_src = src.count()  # materialize once; small relative to target
 
     # ---- 1. pruning: which live files can contain a source key?
-    live = table.files()
+    live = table.files(snapshot_id=table.branch_head(branch) if branch else None)
     if live:
         # metadata prune on doc_id min/max (cheap, driver-side over manifests)
         key_stats_known = [f for f in live if key in f.stats]
@@ -141,6 +146,7 @@ def merge_into(
             "files-pruned-by-stats": len(live) - len(candidates),
             "files-rewritten": len(touched_rel),
         },
+        branch=branch,
     )
     if ledger:
         by_part: dict[str, int] = {}

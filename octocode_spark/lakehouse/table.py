@@ -477,9 +477,11 @@ class LakeTable:
 
     def replace_files(
         self, replaced_paths: list[str], added: list[DataFile], operation: str = "replace",
-        summary: dict | None = None,
+        summary: dict | None = None, branch: str | None = None,
     ) -> Snapshot:
-        return self._commit(operation, added=added, replaced=replaced_paths, summary=summary)
+        return self._commit(
+            operation, added=added, replaced=replaced_paths, summary=summary, branch=branch
+        )
 
     def delete_where(
         self,

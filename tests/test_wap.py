@@ -86,3 +86,35 @@ def test_wap_multiple_branch_commits_chain(spark, tmp_table_dir):
     assert t.read(spark).count() == 100
     t.publish_branch("audit")
     assert t.read(spark).count() == 140
+
+
+def test_wap_merge_on_branch_then_publish(spark, tmp_table_dir):
+    """Full Write-Audit-Publish for a bulk MERGE: the upsert commits to the
+    staging branch, main readers see the pre-merge table until publish."""
+    from pyspark.sql import functions as F
+
+    from octocode_spark.functions.digest import table_digest
+    from octocode_spark.lakehouse.merge import merge_into
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=600, small_files=4, max_tok_cap=64)
+    pre_digest = table_digest(t.read(spark))
+    base = sequences(spark, 600, max_tok_cap=64)
+
+    from octocode_spark.datagen import sequence_updates
+
+    updates = sequence_updates(spark, 600, 150, max_tok_cap=64)
+    expected = (
+        base.join(updates.select("doc_id"), "doc_id", "left_anti")
+        .unionByName(updates.filter(~F.col("deleted")).drop("deleted"))
+    )
+
+    t.create_branch("audit")
+    stats = merge_into(spark, t, updates, branch="audit")
+    assert stats.files_rewritten > 0
+
+    # main unchanged; branch carries the merged state
+    assert table_digest(t.read(spark)) == pre_digest
+    assert table_digest(t.read(spark, branch="audit")) == table_digest(expected)
+
+    t.publish_branch("audit")
+    assert table_digest(t.read(spark)) == table_digest(expected)
