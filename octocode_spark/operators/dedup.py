@@ -44,6 +44,27 @@ def dedup_exact(docs: DataFrame, text_col: str = "text") -> DataFrame:
     return fp.join(keep, ["fingerprint", "doc_id"], "left_semi").drop("fingerprint")
 
 
+def dedup_keep_best(
+    docs: DataFrame, score, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Canonical-representative dedup: within each exact-duplicate group keep
+    the row maximizing ``score`` (a Column, e.g. text.quality_score), ties
+    broken by min id — the training-data shape where near-identical crawls
+    differ in boilerplate and you keep the cleanest copy. One shuffle
+    (max_by on a total-ordered composite), same cost as dedup_exact."""
+    fp = docs.withColumn("fingerprint", fingerprint(F.col(text_col))).withColumn(
+        "_score", score
+    )
+    # total order: (score asc, id desc) under max_by ⇒ max score, min id
+    keep = fp.groupBy("fingerprint").agg(
+        F.max_by(id_col, F.struct(F.col("_score"), -F.col(id_col))).alias(id_col)
+    )
+    return (
+        fp.join(keep, ["fingerprint", id_col], "left_semi")
+        .drop("fingerprint", "_score")
+    )
+
+
 # ---------------------------------------------------------------- shingles
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3,

@@ -93,6 +93,37 @@ def rolling_hash64(text: Column) -> Column:
     return F.xxhash64(canon)
 
 
+# PII patterns: deliberately simple, engine-portable regexes (both Spark and
+# DuckDB use leftmost, non-overlapping matching for these constructs)
+_PII_PATTERNS = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"),
+    ("ipv4", r"\b(?:[0-9]{1,3}\.){3}[0-9]{1,3}\b"),
+    ("phone", r"\+?[0-9]{1,3}[-. ]?\(?[0-9]{3}\)?[-. ][0-9]{3}[-. ][0-9]{4}"),
+]
+
+
+def redact_pii(text: Column) -> Column:
+    """Scrub emails / IPv4s / phone-shaped spans with typed placeholders —
+    the pre-training privacy pass. Pure chained regexp_replace (codegen),
+    patterns applied in fixed order so the output is deterministic."""
+    out = text
+    for name, pat in _PII_PATTERNS:
+        out = F.regexp_replace(out, pat, f"<{name.upper()}>")
+    return out
+
+
+def count_pii(text: Column) -> Column:
+    """Number of PII spans redact_pii would replace (pre-redaction count,
+    evaluated on the same fixed pattern order)."""
+    total = None
+    scrubbed = text
+    for _name, pat in _PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+        total = n if total is None else total + n
+        scrubbed = F.regexp_replace(scrubbed, pat, " ")
+    return total.cast("long")
+
+
 def expand_by_shared_terms(
     docs: DataFrame,
     seeds: DataFrame,

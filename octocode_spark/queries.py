@@ -1295,6 +1295,97 @@ def q46(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "q47_dedup_keep_best",
+    """
+    WITH q AS (
+        SELECT doc_id, source,
+               sha256(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g')) AS fp,
+               least(CASE WHEN length(trim(text)) = 0 THEN 0
+                          ELSE len(string_split_regex(trim(text), '\\s+')) END / 100.0, 1.0) * 0.4
+             + least(len(list_filter(string_split_regex(lower(trim(text)), '\\s+'),
+                                     x -> list_contains(['the','and','of','to','in'], x)))
+                     / greatest(len(string_split_regex(lower(trim(text)), '\\s+')), 1) * 5.0, 1.0) * 0.4
+             + greatest(0.0, 1.0 - (CASE WHEN length(text) = 0 THEN 0.0
+                     ELSE length(regexp_replace(text, '[^.,;:!?''"()\\[\\]{}]', '', 'g')) / length(text) END) * 4.0) * 0.2
+               AS quality
+        FROM documents)
+    SELECT doc_id, source FROM q
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY fp ORDER BY quality DESC, doc_id ASC) = 1
+    ORDER BY doc_id
+    """,
+)
+def q47(spark: SparkSession, sf: str) -> DataFrame:
+    """Canonical-representative dedup: within each exact-duplicate group keep
+    the highest-quality copy (ties → min doc_id) — the keep-the-cleanest-crawl
+    training-data shape, as one max_by aggregate."""
+    from octocode_spark.operators.dedup import dedup_keep_best
+    from octocode_spark.operators.text import quality_score
+
+    d = _t(spark, sf, "documents")
+    kept = dedup_keep_best(d, quality_score(F.col("text")))
+    return kept.select("doc_id", "source").orderBy("doc_id")
+
+
+@_q(
+    "q48_pii_redaction",
+    """
+    WITH aug AS (
+        SELECT doc_id,
+               CASE WHEN doc_id % 7 = 0
+                    THEN text || ' contact user' || CAST(doc_id AS VARCHAR)
+                         || '@example.com or 10.0.' || CAST(doc_id % 256 AS VARCHAR) || '.1 now'
+                    ELSE text END AS t
+        FROM documents),
+    stage1 AS (
+        SELECT doc_id, t,
+               len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g') AS t1,
+               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
+        FROM aug),
+    stage2 AS (
+        SELECT doc_id, n1,
+               n1 + len(regexp_extract_all(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n2,
+               regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', ' ', 'g') AS t2,
+               regexp_replace(r1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g') AS r2
+        FROM stage1),
+    stage3 AS (
+        SELECT doc_id,
+               n2 + len(regexp_extract_all(t2, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_pii,
+               regexp_replace(r2, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS redacted
+        FROM stage2)
+    SELECT doc_id, CAST(n_pii AS BIGINT) AS n_pii,
+           CAST(length(redacted) AS BIGINT) AS redacted_len
+    FROM stage3 ORDER BY doc_id
+    """,
+)
+def q48(spark: SparkSession, sf: str) -> DataFrame:
+    """PII scrub (pre-training privacy pass): typed placeholder redaction of
+    emails/IPv4s/phone-shaped spans + span counts, pure chained regexes.
+    Deterministic synthetic PII is injected for 1-in-7 docs IDENTICALLY in
+    both engines (the corpus itself is PII-free word soup)."""
+    from octocode_spark.operators.text import count_pii, redact_pii
+
+    d = _t(spark, sf, "documents")
+    aug = F.when(
+        F.col("doc_id") % 7 == 0,
+        F.concat(
+            F.col("text"), F.lit(" contact user"), F.col("doc_id").cast("string"),
+            F.lit("@example.com or 10.0."), (F.col("doc_id") % 256).cast("string"),
+            F.lit(".1 now"),
+        ),
+    ).otherwise(F.col("text"))
+    return (
+        d.select("doc_id", aug.alias("t"))
+        .select(
+            "doc_id",
+            count_pii(F.col("t")).alias("n_pii"),
+            F.length(redact_pii(F.col("t"))).cast("long").alias("redacted_len"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@_q(
     "q39_deterministic_sample",
     """
     SELECT source,

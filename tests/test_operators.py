@@ -344,3 +344,22 @@ def test_bm25_rejects_empty_terms(spark):
     docs = spark.createDataFrame([(1, "x")], "doc_id: long, text: string")
     with _pytest.raises(ValueError, match="at least one"):
         bm25_scores(docs, [])
+
+
+def test_dedup_keep_best_prefers_quality_then_min_id(spark):
+    from octocode_spark.operators.dedup import dedup_keep_best
+    from octocode_spark.operators.text import quality_score
+
+    rows = [
+        # same fingerprint (canonicalization collapses whitespace/case);
+        # doc 11's extra whitespace lowers its punct RATIO -> higher quality
+        (10, "hello, world. the and of to in words here now"),
+        (11, "hello,  world.  the and of to in words here now"),
+        # exact tie group: identical raw text -> tie broken by min id
+        (20, "the quick brown fox jumps over it"),
+        (21, "the quick brown fox jumps over it"),
+        (30, "a unique document with no duplicates at all"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    kept = {r["doc_id"] for r in dedup_keep_best(docs, quality_score(F.col("text"))).collect()}
+    assert kept == {11, 20, 30}
