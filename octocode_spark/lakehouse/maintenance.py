@@ -36,6 +36,11 @@ from octocode_spark.lakehouse.table import LakeTable, partition_key
 
 TARGET_FILE_SIZE = 512 * 1024 * 1024  # north-star 512MB bin-pack target
 
+# rewrite_global assign="auto" crossover: below this, repartitionByRange's
+# second scan of the (page-cached) input is cheaper than the routed mode's
+# fixed sampling prologue; above it, re-reading the table dominates
+ROUTES_MIN_BYTES = 16 * 1024 * 1024 * 1024
+
 
 @dataclass
 class PartitionPlan:
@@ -322,7 +327,7 @@ def rewrite_global(
     op: str = "compact",
     cluster_by: str | None = "zorder",
     samples_per_file: int = 256,
-    assign: str = "routes",  # routes | range (repartitionByRange A/B twin)
+    assign: str = "auto",  # auto | routes | range
 ) -> RewriteResult:
     """Throughput mode: ONE scan + ONE shuffle over every planned partition,
     then per-partition atomic commits assembled from the grouped output files.
@@ -333,14 +338,18 @@ def rewrite_global(
     + ledger granularity is unchanged (still per partition); what coarsens is
     compute-resume: a kill before the write finishes replays the whole job.
 
-    Range assignment is done MANUALLY instead of ``repartitionByRange``:
-    (1) zkey cut points come from a column-pruned deterministic sample
-        (tokens never decoded — repartitionByRange's sampling pass would
-        re-execute the full fat scan, i.e. read the 100-TB table twice);
-    (2) each (partition, zkey-range) bucket is routed to EXACTLY one reducer
-        via murmur preimage labels, so every output file is single-partition-
-        valued with a disjoint zkey range by construction — no straddle
-        points, files_out == planned target exactly.
+    Range assignment (``assign``):
+    - "routes": zkey cut points from a column-pruned deterministic sample
+      (tokens never decoded), each (partition, zkey-range) bucket routed to
+      EXACTLY one reducer via murmur preimage labels — ONE scan of the fat
+      table, exact output geometry (no straddle splits).
+    - "range": plain ``repartitionByRange`` — whose bounds-sampling pass
+      re-executes the fat child, i.e. reads the table twice.
+    - "auto" (default): "range" below ROUTES_MIN_BYTES, "routes" above.
+      Measured crossover: the routes sampling prologue is a fixed ~2s
+      (narrow scan + driver cuts), while the second scan that "range" pays
+      is proportional to table bytes — cheap for a page-cached few-GB
+      rewrite, catastrophic at 100 TB where it doubles the job's read IO.
     """
     valid_ids = {s.snapshot_id for s in table.meta.snapshots}
     done_before = ledger.done_partitions(op, valid_ids) if ledger else set()
@@ -361,6 +370,8 @@ def rewrite_global(
             "per-partition coalesce — use rewrite_partitions(cluster_by=None)"
         )
 
+    if assign == "auto":
+        assign = "range" if plan.bytes < ROUTES_MIN_BYTES else "routes"
     if assign == "range":
         total_target = sum(p.target_files for p in todo)
         df = (

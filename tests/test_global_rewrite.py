@@ -2,13 +2,16 @@
 
 from __future__ import annotations
 
+import pytest
+
 from octocode_spark.functions.digest import group_counts, table_digest
 from octocode_spark.lakehouse import Ledger
 from octocode_spark.lakehouse.maintenance import plan_compaction, rewrite_global
 from tests.conftest import make_sequences_table
 
 
-def test_global_rewrite_preserves_data_and_commits_per_partition(spark, tmp_table_dir, tmp_path):
+@pytest.mark.parametrize("assign", ["routes", "range"])
+def test_global_rewrite_preserves_data_and_commits_per_partition(spark, tmp_table_dir, tmp_path, assign):
     t = make_sequences_table(spark, tmp_table_dir, n_rows=3000, small_files=24)
     pre = table_digest(t.read(spark))
     pre_groups = {(r["source"], r["n_tok_bucket"]): r["cnt"] for r in group_counts(t.read(spark)).collect()}
@@ -16,7 +19,7 @@ def test_global_rewrite_preserves_data_and_commits_per_partition(spark, tmp_tabl
     plan = plan_compaction(t)
     n_parts = len(plan.partitions)
 
-    res = rewrite_global(spark, t, plan, ledger=ledger, cluster_by="zorder")
+    res = rewrite_global(spark, t, plan, ledger=ledger, cluster_by="zorder", assign=assign)
     assert len(res.partitions_done) == n_parts
     assert len(res.snapshots) == n_parts  # one atomic snapshot per partition
     assert table_digest(t.read(spark)) == pre
@@ -63,7 +66,8 @@ def test_global_rewrite_files_are_zorder_clustered(spark, tmp_table_dir, tmp_pat
     target = 192 * 1024
     rewrite_partitions(spark, t_plain, plan_compaction(t_plain, target_file_size=target),
                        cluster_by=None, target_file_size=target)
-    rewrite_global(spark, t_z, plan_compaction(t_z, target_file_size=target), cluster_by="zorder")
+    rewrite_global(spark, t_z, plan_compaction(t_z, target_file_size=target),
+                   cluster_by="zorder", assign="routes")
     plain_span = avg_ntok_span(t_plain.files())
     z_span = avg_ntok_span(t_z.files())
     assert z_span <= plain_span * 0.7, (z_span, plain_span)
