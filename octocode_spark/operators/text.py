@@ -93,6 +93,46 @@ def rolling_hash64(text: Column) -> Column:
     return F.xxhash64(canon)
 
 
+def repetition_stats(text: Column) -> Column:
+    """Gopher-style repetition signals as a struct:
+    - dup_word_frac: 1 − distinct_words/words (word-level repetitiveness)
+    - top_bigram_frac: occurrences of the most frequent word bigram / bigrams
+    Both pure array expressions (no UDF); filters like
+    ``top_bigram_frac > 0.18`` reproduce the published Gopher cuts."""
+    words = F.split(F.lower(F.trim(text)), r"\s+")
+    n = F.size(words)
+    dup_frac = F.when(n > 0, 1.0 - F.size(F.array_distinct(words)) / n).otherwise(F.lit(0.0))
+    bigrams = F.transform(
+        F.slice(words, 1, F.greatest(n - 1, F.lit(0))),
+        lambda w, i: F.concat_ws(" ", w, F.element_at(words, i + 2)),
+    )
+    nb = F.size(bigrams)
+    top = F.array_max(
+        F.transform(F.array_distinct(bigrams),
+                    lambda b: F.size(F.filter(bigrams, lambda x: x == b)))
+    )
+    top_frac = F.when(nb > 0, top / nb).otherwise(F.lit(0.0))
+    return F.struct(dup_frac.alias("dup_word_frac"), top_frac.alias("top_bigram_frac"))
+
+
+def stratified_sample_expr(
+    source: Column, fractions: dict[str, float], id_col: Column
+) -> Column:
+    """Deterministic per-source sampling predicate for data-mixing: keep a
+    row iff md5-bucket(id) < fraction[source]·10⁶ (unlisted sources drop).
+    The SAME rows survive on any engine/cluster size — the md5 trick from
+    q39, per stratum. This is the domain-reweighting step of a training-data
+    pipeline (e.g. upsample wikipedia, downsample common-crawl)."""
+    bucket = F.pmod(
+        F.conv(F.substring(F.md5(id_col.cast("string")), 1, 8), 16, 10).cast("long"),
+        F.lit(1_000_000),
+    )
+    pred = F.lit(False)
+    for src, frac in sorted(fractions.items()):
+        pred = pred | ((source == src) & (bucket < int(frac * 1_000_000)))
+    return pred
+
+
 # PII patterns: deliberately simple, engine-portable regexes (both Spark and
 # DuckDB use leftmost, non-overlapping matching for these constructs)
 _PII_PATTERNS = [

@@ -1386,6 +1386,81 @@ def q48(spark: SparkSession, sf: str) -> DataFrame:
 
 
 @_q(
+    "q49_repetition_stats",
+    """
+    WITH w AS (
+        SELECT doc_id, string_split_regex(lower(trim(text)), '\\s+') AS ws FROM documents),
+    b AS (
+        SELECT doc_id, ws,
+               list_transform(generate_series(1, len(ws) - 1),
+                              i -> ws[i] || ' ' || ws[i + 1]) AS bg
+        FROM w)
+    SELECT doc_id,
+           ROUND(CASE WHEN len(ws) > 0
+                      THEN 1.0 - len(list_distinct(ws)) / len(ws) ELSE 0.0 END, 6)
+             AS dup_word_frac,
+           ROUND(CASE WHEN len(bg) > 0
+                      THEN list_max(list_transform(list_distinct(bg),
+                           x -> len(list_filter(bg, y -> y = x)))) / len(bg)
+                      ELSE 0.0 END, 6)
+             AS top_bigram_frac
+    FROM b ORDER BY doc_id
+    """,
+)
+def q49(spark: SparkSession, sf: str) -> DataFrame:
+    """Gopher-style repetition filters (training-data quality): word-level
+    duplicate fraction + most-frequent-bigram share, pure array expressions.
+    (For book-length docs swap the per-row bigram count for the explode +
+    groupBy shape; at the documents table's size the expression form wins.)"""
+    from octocode_spark.operators.text import repetition_stats
+
+    d = _t(spark, sf, "documents")
+    st = repetition_stats(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.round(st["dup_word_frac"], 6).alias("dup_word_frac"),
+        F.round(st["top_bigram_frac"], 6).alias("top_bigram_frac"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q50_stratified_mixing_sample",
+    """
+    WITH b AS (
+        SELECT source, n_chars,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                 AS bucket
+        FROM documents)
+    SELECT source, COUNT(*) AS kept,
+           CAST(SUM(CAST(n_chars AS BIGINT)) AS BIGINT) AS kept_chars
+    FROM b
+    WHERE (source = 'src0' AND bucket < 50000)
+       OR (source = 'src1' AND bucket < 800000)
+       OR (source = 'src2' AND bucket < 300000)
+    GROUP BY source ORDER BY source
+    """,
+)
+def q50(spark: SparkSession, sf: str) -> DataFrame:
+    """Deterministic stratified data-mixing sample (domain reweighting):
+    downsample src0 to 5%, keep 80% of src1, 30% of src2, drop the rest —
+    the SAME rows survive on any engine or cluster size."""
+    from octocode_spark.operators.text import stratified_sample_expr
+
+    d = _t(spark, sf, "documents")
+    keep = stratified_sample_expr(
+        F.col("source"),
+        {"src0": 0.05, "src1": 0.80, "src2": 0.30},
+        F.col("doc_id"),
+    )
+    return (
+        d.filter(keep)
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("kept"), F.sum(F.col("n_chars").cast("long")).alias("kept_chars"))
+        .orderBy("source")
+    )
+
+
+@_q(
     "q39_deterministic_sample",
     """
     SELECT source,

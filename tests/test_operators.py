@@ -363,3 +363,38 @@ def test_dedup_keep_best_prefers_quality_then_min_id(spark):
     docs = spark.createDataFrame(rows, "doc_id: long, text: string")
     kept = {r["doc_id"] for r in dedup_keep_best(docs, quality_score(F.col("text"))).collect()}
     assert kept == {11, 20, 30}
+
+
+def test_repetition_stats_values(spark):
+    from octocode_spark.operators.text import repetition_stats
+
+    rows = [
+        (1, "a a a a"),                      # all dup words; top bigram 'a a' = 3/3
+        (2, "w x y z"),                      # no repetition
+        (3, "go go stop go go stop"),        # dup_frac 4/6; top bigram 'go go' 2/5
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string")
+    st = repetition_stats(F.col("text"))
+    got = {r["doc_id"]: r for r in docs.select(
+        "doc_id",
+        F.round(st["dup_word_frac"], 4).alias("d"),
+        F.round(st["top_bigram_frac"], 4).alias("t"),
+    ).collect()}
+    assert got[1]["d"] == 0.75 and got[1]["t"] == 1.0
+    assert got[2]["d"] == 0.0 and got[2]["t"] == round(1 / 3, 4)  # 3 bigrams, all unique
+    assert got[3]["d"] == round(4 / 6, 4) and got[3]["t"] == 0.4
+
+
+def test_stratified_sample_deterministic_and_bounded(spark):
+    from octocode_spark.operators.text import stratified_sample_expr
+
+    df = spark.range(0, 4000).select(
+        F.col("id").alias("doc_id"),
+        F.when(F.col("id") % 2 == 0, "keepers").otherwise("dropped").alias("source"),
+    )
+    keep = stratified_sample_expr(F.col("source"), {"keepers": 0.5}, F.col("doc_id"))
+    a = {r["doc_id"] for r in df.filter(keep).collect()}
+    b = {r["doc_id"] for r in df.repartition(13).filter(keep).collect()}
+    assert a == b  # same rows at any partitioning
+    assert all(i % 2 == 0 for i in a)  # unlisted sources fully dropped
+    assert 0.4 < len(a) / 2000 < 0.6  # ~50% of the stratum
