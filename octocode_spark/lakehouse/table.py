@@ -355,6 +355,34 @@ class LakeTable:
         added = self._write_datafiles(df)
         return self._commit("append", added=added, replaced=[], branch=branch)
 
+    # ------------------------------------------------------------------ time travel / rollback
+    def snapshot_as_of(self, timestamp_ms: int) -> int:
+        """Latest snapshot committed at or before ``timestamp_ms`` (Iceberg
+        time-travel-by-timestamp). Raises KeyError when the table has no
+        snapshot that old (or it was expired) — never silently serves newer
+        data."""
+        best: Snapshot | None = None
+        for s in self.meta.snapshots:
+            if s.timestamp_ms <= timestamp_ms and (best is None or s.timestamp_ms > best.timestamp_ms):
+                best = s
+        if best is None:
+            raise KeyError(f"no snapshot at or before {timestamp_ms} (expired?)")
+        return best.snapshot_id
+
+    def rollback_to(self, snapshot_id: int) -> Snapshot:
+        """Metadata-only rollback: point main at a RETAINED ancestor snapshot
+        (Iceberg rollback semantics). The abandoned snapshots stay in the log
+        (re-roll-forward possible) until expiry reaps them; no data IO."""
+        while True:
+            meta = load_latest_metadata(self.root)
+            if all(s.snapshot_id != snapshot_id for s in meta.snapshots):
+                raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+            new_meta = self._with(meta, current_snapshot_id=snapshot_id)
+            if write_metadata_exclusive(self.root, new_meta):
+                self.meta = new_meta
+                return self.meta.snapshot()
+            time.sleep(0.01)
+
     # ------------------------------------------------------------------ export / import
     def export_snapshot(self, dest_root: str, snapshot_id: int | None = None) -> "LakeTable":
         """S7 export: materialize one snapshot as a SELF-CONTAINED table at

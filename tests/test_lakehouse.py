@@ -177,3 +177,35 @@ def test_export_snapshot_roundtrip_and_detachment(spark, tmp_table_dir, tmp_path
         "cast(substring(doc_id, -12, 12) as long) >= 400")
     imported.append(extra)
     assert imported.read(spark).count() == 420
+
+
+def test_timestamp_time_travel_and_rollback(spark, tmp_table_dir):
+    """read-as-of-timestamp resolves the right snapshot; rollback is a
+    metadata-only pointer move that expiry can later reap."""
+    import time as _time
+
+    df = sequences(spark, 300, max_tok_cap=64)
+    t = LakeTable.create(tmp_table_dir, df.schema, partition_by=["source"], stat_cols=["n_tok"])
+    s1 = t.append(df.filter("cast(substring(doc_id, -12, 12) as long) < 200"))
+    d1 = table_digest(t.read(spark))
+    _time.sleep(0.05)
+    between = int(_time.time() * 1000)
+    _time.sleep(0.05)
+    s2 = t.append(df.filter("cast(substring(doc_id, -12, 12) as long) >= 200"))
+
+    assert t.snapshot_as_of(between) == s1.snapshot_id
+    assert table_digest(t.read(spark, snapshot_id=t.snapshot_as_of(between))) == d1
+    with pytest.raises(KeyError):
+        t.snapshot_as_of(s1.timestamp_ms - 10_000)
+
+    # rollback: main points at s1 again; data IO zero (same files readable)
+    v_before = t.meta.version
+    t.rollback_to(s1.snapshot_id)
+    assert t.meta.current_snapshot_id == s1.snapshot_id
+    assert t.meta.version == v_before + 1
+    assert table_digest(t.read(spark)) == d1
+    # roll forward is possible while s2 is retained
+    t.rollback_to(s2.snapshot_id)
+    assert t.read(spark).count() == 300
+    with pytest.raises(KeyError):
+        t.rollback_to(12345)
