@@ -371,7 +371,8 @@ def rewrite_global(
         )
 
     if assign == "auto":
-        assign = "range" if plan.bytes < ROUTES_MIN_BYTES else "routes"
+        todo_bytes = sum(p.bytes for p in todo)  # the bytes actually scanned
+        assign = "range" if todo_bytes < ROUTES_MIN_BYTES else "routes"
     if assign == "range":
         total_target = sum(p.target_files for p in todo)
         df = (

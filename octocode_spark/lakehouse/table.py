@@ -356,27 +356,70 @@ class LakeTable:
         return self._commit("append", added=added, replaced=[], branch=branch)
 
     # ------------------------------------------------------------------ time travel / rollback
+    def _main_ancestry(self, meta: TableMetadata | None = None) -> list[Snapshot]:
+        """Snapshots on MAIN's parent chain, newest first. Branch-staged and
+        abandoned (rolled-back-past) snapshots are NOT on it — time travel
+        and rollback must never silently serve those."""
+        meta = meta or self.meta
+        by_id = {s.snapshot_id: s for s in meta.snapshots}
+        chain: list[Snapshot] = []
+        cur = meta.current_snapshot_id
+        while cur is not None and cur in by_id:
+            s = by_id[cur]
+            chain.append(s)
+            cur = s.parent_id
+        return chain
+
     def snapshot_as_of(self, timestamp_ms: int) -> int:
-        """Latest snapshot committed at or before ``timestamp_ms`` (Iceberg
-        time-travel-by-timestamp). Raises KeyError when the table has no
-        snapshot that old (or it was expired) — never silently serves newer
-        data."""
-        best: Snapshot | None = None
-        for s in self.meta.snapshots:
-            if s.timestamp_ms <= timestamp_ms and (best is None or s.timestamp_ms > best.timestamp_ms):
-                best = s
-        if best is None:
-            raise KeyError(f"no snapshot at or before {timestamp_ms} (expired?)")
-        return best.snapshot_id
+        """Latest MAIN-ancestry snapshot committed at or before
+        ``timestamp_ms`` (Iceberg time-travel-by-timestamp). WAP branch
+        commits and rolled-back heads are invisible, same as to any other
+        main reader. Raises KeyError when no retained ancestor is that old —
+        never silently serves newer data."""
+        for s in self._main_ancestry():  # newest → oldest; timestamps descend
+            if s.timestamp_ms <= timestamp_ms:
+                return s.snapshot_id
+        raise KeyError(f"no main-ancestry snapshot at or before {timestamp_ms} (expired?)")
 
     def rollback_to(self, snapshot_id: int) -> Snapshot:
-        """Metadata-only rollback: point main at a RETAINED ancestor snapshot
-        (Iceberg rollback semantics). The abandoned snapshots stay in the log
-        (re-roll-forward possible) until expiry reaps them; no data IO."""
+        """Metadata-only rollback: point main at a retained snapshot ON ITS
+        OWN ANCESTRY (Iceberg rollback semantics). Branch-staged snapshots
+        are rejected — publishing a branch goes through publish_branch's
+        fork-point audit gate, never through rollback. Abandoned snapshots
+        stay in the log (re-roll-forward possible) until expiry reaps them.
+
+        Roll-FORWARD (to an abandoned ex-descendant) is allowed: a snapshot
+        whose ancestry contains the current head is also accepted."""
         while True:
             meta = load_latest_metadata(self.root)
-            if all(s.snapshot_id != snapshot_id for s in meta.snapshots):
+            by_id = {s.snapshot_id: s for s in meta.snapshots}
+            if snapshot_id not in by_id:
                 raise KeyError(f"snapshot {snapshot_id} not found (expired?)")
+            def _is_ancestor(anc_id: int | None, from_id: int | None) -> bool:
+                cur = from_id
+                while cur is not None and cur in by_id:
+                    if cur == anc_id:
+                        return True
+                    cur = by_id[cur].parent_id
+                return False
+
+            # staged (unpublished) branch commits: everything reachable from a
+            # live branch head down to (exclusive) its fork point
+            staged: set[int] = set()
+            for k, v in meta.properties.items():
+                if k.startswith("branch:"):
+                    info = json.loads(v)
+                    cur = info["head"]
+                    while cur is not None and cur in by_id and cur != info["fork_main"]:
+                        staged.add(cur)
+                        cur = by_id[cur].parent_id
+            rollback_ok = _is_ancestor(snapshot_id, meta.current_snapshot_id)
+            rollforward_ok = _is_ancestor(meta.current_snapshot_id, snapshot_id)
+            if snapshot_id in staged or not (rollback_ok or rollforward_ok):
+                raise ValueError(
+                    f"snapshot {snapshot_id} is not on main's ancestry (a WAP "
+                    "branch commit?) — use publish_branch to promote staged data"
+                )
             new_meta = self._with(meta, current_snapshot_id=snapshot_id)
             if write_metadata_exclusive(self.root, new_meta):
                 self.meta = new_meta

@@ -52,16 +52,20 @@ def dedup_keep_best(
     broken by min id — the training-data shape where near-identical crawls
     differ in boilerplate and you keep the cleanest copy. One shuffle
     (max_by on a total-ordered composite), same cost as dedup_exact."""
+    from pyspark.sql import Window
+
     fp = docs.withColumn("fingerprint", fingerprint(F.col(text_col))).withColumn(
         "_score", score
     )
-    # total order: (score asc, id desc) under max_by ⇒ max score, min id
-    keep = fp.groupBy("fingerprint").agg(
-        F.max_by(id_col, F.struct(F.col("_score"), -F.col(id_col))).alias(id_col)
+    # window pick works for ANY orderable id type (strings included), unlike
+    # a max_by composite that would need numeric negation for the tie-break
+    w = Window.partitionBy("fingerprint").orderBy(
+        F.col("_score").desc(), F.col(id_col).asc()
     )
     return (
-        fp.join(keep, ["fingerprint", id_col], "left_semi")
-        .drop("fingerprint", "_score")
+        fp.withColumn("_rn", F.row_number().over(w))
+        .filter(F.col("_rn") == 1)
+        .drop("fingerprint", "_score", "_rn")
     )
 
 

@@ -45,7 +45,8 @@ def test_global_rewrite_skips_ledger_done_partitions(spark, tmp_table_dir, tmp_p
     assert len(res.partitions_done) == len(plan.partitions) - 1
 
 
-def test_global_rewrite_files_are_zorder_clustered(spark, tmp_table_dir, tmp_path):
+@pytest.mark.parametrize("assign", ["routes", "range"])
+def test_global_rewrite_files_are_zorder_clustered(spark, tmp_table_dir, tmp_path, assign):
     """Clustering quality gate (FIXTURES.md F4 golden_minmax): at EQUAL
     output file counts, the z-ordered layout's per-file n_tok spans must be
     substantially tighter than unclustered compaction — i.e. the manifest
@@ -67,7 +68,7 @@ def test_global_rewrite_files_are_zorder_clustered(spark, tmp_table_dir, tmp_pat
     rewrite_partitions(spark, t_plain, plan_compaction(t_plain, target_file_size=target),
                        cluster_by=None, target_file_size=target)
     rewrite_global(spark, t_z, plan_compaction(t_z, target_file_size=target),
-                   cluster_by="zorder", assign="routes")
+                   cluster_by="zorder", assign=assign)
     plain_span = avg_ntok_span(t_plain.files())
     z_span = avg_ntok_span(t_z.files())
     assert z_span <= plain_span * 0.7, (z_span, plain_span)

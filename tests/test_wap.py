@@ -118,3 +118,30 @@ def test_wap_merge_on_branch_then_publish(spark, tmp_table_dir):
 
     t.publish_branch("audit")
     assert table_digest(t.read(spark)) == table_digest(expected)
+
+
+def test_time_travel_and_rollback_ignore_branch_snapshots(spark, tmp_table_dir):
+    """snapshot_as_of never serves unpublished branch commits; rollback_to
+    refuses to point main at one (publish_branch is the only promotion)."""
+    import time as _time
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=200, small_files=2, max_tok_cap=64)
+    main_head = t.meta.current_snapshot_id
+    t.create_branch("audit")
+    staged = t.append(_rows_ge(spark, 200, 230), branch="audit")
+
+    # the staged snapshot is the NEWEST by timestamp, but timestamp travel
+    # must resolve to main's head
+    now = int(_time.time() * 1000) + 1000
+    assert t.snapshot_as_of(now) == main_head
+    with pytest.raises(ValueError, match="publish_branch"):
+        t.rollback_to(staged.snapshot_id)
+
+    # rollback past a later main commit, then time-travel still sees only
+    # main ancestry (the abandoned head is invisible to as-of readers)
+    s2 = t.append(_rows_ge(spark, 300, 320))
+    t.rollback_to(main_head)
+    assert t.snapshot_as_of(now) == main_head
+    # roll-forward to the abandoned descendant is allowed
+    t.rollback_to(s2.snapshot_id)
+    assert t.meta.current_snapshot_id == s2.snapshot_id
