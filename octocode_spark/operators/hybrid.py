@@ -130,10 +130,16 @@ def hybrid_search(
     """docs(doc_id, text) ⊕ vectors(vec_id, embedding) → top-k fused ids.
 
     Two candidate lists of ``candidates`` each (over-fetch, like the
-    reference's top_k_candidates=50), fused with w/(60+rank)."""
+    reference's top_k_candidates=50), fused with w/(60+rank). Both the
+    candidate cut and the in-list rank order on floor(score·1e12)::BIGINT
+    (stable_rank_key) so near-tied float scores rank identically on any
+    engine — the reference's determinism rule."""
+    from octocode_spark.operators.rrf import stable_rank_key
+
     kw = (
         bm25_scores(docs, terms)
-        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .select("id", stable_rank_key("bm25").alias("bm25q"))
+        .orderBy(F.col("bm25q").desc(), F.col("id").asc())
         .limit(candidates)
     )
     q = vectors.filter(F.col("vec_id") == query_vec_id).select(
@@ -143,12 +149,14 @@ def hybrid_search(
         vectors.crossJoin(F.broadcast(q))
         .select(
             F.col("vec_id").alias("id"),
-            cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv")).alias("cos"),
+            stable_rank_key(
+                cosine_sim(F.col("embedding").cast("array<double>"), F.col("qv"))
+            ).alias("cosq"),
         )
-        .orderBy(F.col("cos").desc(), F.col("id").asc())
+        .orderBy(F.col("cosq").desc(), F.col("id").asc())
         .limit(candidates)
     )
     return weighted_rrf(
-        [(kw, keyword_weight, "bm25", False), (vec, vector_weight, "cos", False)],
+        [(kw, keyword_weight, "bm25q", False), (vec, vector_weight, "cosq", False)],
         limit=k,
     )

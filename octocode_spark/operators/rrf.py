@@ -10,10 +10,25 @@ JVM-side, no UDFs.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, Window
+from pyspark.sql import Column, DataFrame, Window
 from pyspark.sql import functions as F
 
 RRF_K = 60  # reference default, src/config.rs:204-231
+
+# Quantization scale for cross-engine-stable rank keys. Ranking windows must
+# never order on a raw computed double: two engines' dot products / logs can
+# disagree in the last ulp (SIMD/blocked vs sequential accumulation), flipping
+# near-tied ranks and every integer derived from them. floor(score·1e12) as a
+# BIGINT collapses sub-1e-12 differences into exact ties, which the mandatory
+# id tie-break then resolves identically everywhere (the reference's
+# determinism rule, src/indexer/search.rs:1717-1736).
+STABLE_SCALE = 1e12
+
+
+def stable_rank_key(score: Column | str) -> Column:
+    """floor(score · 1e12) as BIGINT — the ulp-robust window-order key."""
+    c = F.col(score) if isinstance(score, str) else score
+    return F.floor(c * F.lit(STABLE_SCALE)).cast("long")
 
 
 def rank_in_list(df: DataFrame, order_col: str, ascending: bool = True,
@@ -70,6 +85,7 @@ def multi_query_rrf(
     score_col: str = "score",
     ascending: bool = False,
     k: int = RRF_K,
+    quantize: bool = True,
 ) -> DataFrame:
     """Batched multi-query fan-out + cross-query RRF dedup-merge (Q7+Q5 —
     the reference executes N queries in one batch with per-query budget
@@ -85,9 +101,13 @@ def multi_query_rrf(
     Returns (id, rrf_micro, n_queries_matched, rep_query, best_rank)
     ordered by fused score desc. rrf_micro = Σ floor(1e15/(k+rank)) as a
     BIGINT — integer-exact cross-engine, no float summation-order drift.
+    With ``quantize`` (default) the per-query window ranks on
+    floor(score·1e12)::BIGINT so float scores are ulp-robust too; pass
+    False only when score_col is already integral.
     """
     budget = max(2 * max_results // n_queries, 1)
-    order = F.col(score_col).asc() if ascending else F.col(score_col).desc()
+    key = stable_rank_key(score_col) if quantize else F.col(score_col)
+    order = key.asc() if ascending else key.desc()
     w = Window.partitionBy(query_col).orderBy(order, F.col(id_col).asc())
     ranked = (
         scored.withColumn("r", F.row_number().over(w))

@@ -513,31 +513,34 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 @_q(
     "q17_cosine_topk",
     """
-    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
-    SELECT vec_id,
-           ROUND(list_dot_product(embedding::DOUBLE[], qv)
-                 / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
-                    * sqrt(list_dot_product(qv, qv))), 6) AS cosine
-    FROM embeddings, q
-    ORDER BY cosine DESC, vec_id ASC LIMIT 10
+    WITH c AS (
+        SELECT vec_id,
+               list_dot_product(embedding::DOUBLE[], qv)
+               / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                  * sqrt(list_dot_product(qv, qv))) AS cos
+        FROM embeddings, (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0))
+    SELECT vec_id, ROUND(cos, 6) AS cosine
+    FROM c
+    ORDER BY CAST(FLOOR(cos * 1e12) AS BIGINT) DESC, vec_id ASC LIMIT 10
     """,
 )
 def q17(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k (ANN baseline; Q1 analog). The plan is
-    TakeOrderedAndProject over one scan — per-partition partial top-k."""
+    TakeOrderedAndProject over one scan — per-partition partial top-k.
+    Ordering is on the ulp-robust floor(cos·1e12) key (stable_rank_key)."""
     from octocode_spark.operators.ann import _dot
+    from octocode_spark.operators.rrf import stable_rank_key
 
     e = _t(spark, sf, "embeddings")
     q = e.filter("vec_id = 0").select(F.col("embedding").cast("array<double>").alias("qv"))
     v = F.col("embedding").cast("array<double>")
+    cos = _dot(v, F.col("qv")) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     return (
         e.crossJoin(F.broadcast(q))
-        .select(
-            "vec_id",
-            F.round(_dot(v, F.col("qv")) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv")))), 6).alias("cosine"),
-        )
-        .orderBy(F.col("cosine").desc(), F.col("vec_id").asc())
+        .select("vec_id", F.round(cos, 6).alias("cosine"), stable_rank_key(cos).alias("_cq"))
+        .orderBy(F.col("_cq").desc(), F.col("vec_id").asc())
         .limit(10)
+        .drop("_cq")
     )
 
 
@@ -1003,8 +1006,9 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
         FROM base, stats
         WHERE tf0 > 0 OR tf1 > 0 OR tf2 > 0),
     kw AS (
-        SELECT id, ROW_NUMBER() OVER (ORDER BY kscore DESC, id ASC) AS r
-        FROM (SELECT * FROM kw_all ORDER BY kscore DESC, id ASC LIMIT 100)),
+        SELECT id, ROW_NUMBER() OVER (ORDER BY kq DESC, id ASC) AS r
+        FROM (SELECT id, CAST(FLOOR(kscore * 1e12) AS BIGINT) AS kq
+              FROM kw_all ORDER BY kq DESC, id ASC LIMIT 100)),
     q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
     vec_all AS (
         SELECT vec_id AS id,
@@ -1013,8 +1017,9 @@ def q37(spark: SparkSession, sf: str) -> DataFrame:
                   * sqrt(list_dot_product(qv, qv))) AS cos
         FROM embeddings, q),
     vec AS (
-        SELECT id, ROW_NUMBER() OVER (ORDER BY cos DESC, id ASC) AS r
-        FROM (SELECT * FROM vec_all ORDER BY cos DESC, id ASC LIMIT 100))
+        SELECT id, ROW_NUMBER() OVER (ORDER BY cq DESC, id ASC) AS r
+        FROM (SELECT id, CAST(FLOOR(cos * 1e12) AS BIGINT) AS cq
+              FROM vec_all ORDER BY cq DESC, id ASC LIMIT 100))
     SELECT COALESCE(kw.id, vec.id) AS id,
            COALESCE(0.7 / (60 + kw.r), 0.0) + COALESCE(0.3 / (60 + vec.r), 0.0) AS rrf_score,
            (CASE WHEN kw.id IS NULL THEN 0 ELSE 1 END
@@ -1091,7 +1096,8 @@ def q41(spark: SparkSession, sf: str) -> DataFrame:
         FROM embeddings e, q),
     ranked AS (
         SELECT query_id, id,
-               ROW_NUMBER() OVER (PARTITION BY query_id ORDER BY score DESC, id ASC) AS r
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY CAST(FLOOR(score * 1e12) AS BIGINT) DESC, id ASC) AS r
         FROM scored),
     kept AS (SELECT * FROM ranked WHERE r <= 13)
     SELECT id,
