@@ -1543,8 +1543,37 @@ def q27(spark: SparkSession, sf: str) -> DataFrame:
     return simhash64(_t(spark, sf, "documents")).orderBy("doc_id")
 
 
-@_q("q28_minhash_lsh_pairs")  # no oracle: banded xxhash64 buckets
+@_q(
+    "q28_minhash_lsh_pairs",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+        FROM words),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+        FROM grams g1 JOIN grams g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
+        GROUP BY g1.doc_id, g2.doc_id)
+    SELECT a, b, ROUND(i * 1.0 / (sa.sz + sb.sz - i), 6) AS jaccard
+    FROM inter JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+    WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3
+    ORDER BY a, b
+    """,
+)
 def q28(spark: SparkSession, sf: str) -> DataFrame:
+    """MinHash-LSH near-dup pairs, verified with exact shingle Jaccard.
+
+    Oracle = ALL exact-Jaccard pairs ≥ threshold (no LSH): a self-consistency
+    gate asserting LSH recall is 1.0 on this corpus. That holds with huge
+    margin — every true pair here has J ≥ 0.9, where the 16-band/4-row
+    S-curve's miss probability is (1−0.9⁴)¹⁶ ≈ 3·10⁻⁸ — and the LSH output
+    is exact-verified, so false positives are impossible by construction."""
     from octocode_spark.operators.dedup import minhash_lsh_pairs
 
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.3).orderBy("a", "b")
@@ -1564,8 +1593,43 @@ def q29(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("media_id")
 
 
-@_q("q30_embedding_near_pairs")  # no oracle: xxhash64 hyperplane LSH
+def _q30_oracle(num_planes: int = 4, dim: int = 64) -> str:
+    """q30's DuckDB oracle replicates the hyperplane LSH blocking EXACTLY:
+    the ±1 plane-sign vectors are deterministic functions of xxhash64 with
+    literal seeds, so the pure-python JVM-twin (functions/xxh.py, equality
+    pinned by tests) folds them into SQL literals and the bucket equi-join
+    becomes engine-portable — no xxhash64 needed inside DuckDB."""
+    from octocode_spark.functions.xxh import xxhash64_ints
+
+    sig_terms = []
+    for p in range(num_planes):
+        signs = ",".join(
+            "1.0" if xxhash64_ints(p, i) % 2 == 0 else "-1.0" for i in range(dim)
+        )
+        sig_terms.append(
+            f"(CASE WHEN list_dot_product(v, [{signs}]) >= 0 THEN {1 << p} ELSE 0 END)"
+        )
+    sig = " + ".join(sig_terms)
+    return f"""
+    WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+    s AS (SELECT vec_id, v, {sig} AS sig FROM e)
+    SELECT a.vec_id AS a, b.vec_id AS b,
+           ROUND(list_dot_product(a.v, b.v)
+                 / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6)
+             AS cosine
+    FROM s a JOIN s b ON a.sig = b.sig AND a.vec_id < b.vec_id
+    WHERE ROUND(list_dot_product(a.v, b.v)
+                / (sqrt(list_dot_product(a.v, a.v)) * sqrt(list_dot_product(b.v, b.v))), 6) >= 0.3
+    ORDER BY a, b
+    """
+
+
+@_q("q30_embedding_near_pairs", _q30_oracle())
 def q30(spark: SparkSession, sf: str) -> DataFrame:
+    """Embedding near-dup pairs via hyperplane-LSH blocking + exact cosine
+    inside buckets. The oracle replicates the blocking bit-for-bit (plane
+    signs constant-folded into SQL via the xxhash64 twin), so this checks
+    BOTH the bucket assignment and the verification — not just recall."""
     from octocode_spark.operators.ann import cosine_near_pairs
 
     return cosine_near_pairs(_t(spark, sf, "embeddings"), threshold=0.3, num_planes=4).orderBy("a", "b")
