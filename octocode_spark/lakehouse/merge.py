@@ -67,6 +67,14 @@ def merge_into(
     data_cols = [f.name for f in table.schema.fields]
     has_delete = deleted_col in source.columns
     src = source.select(*data_cols, *( [deleted_col] if has_delete else [] )).cache()
+    # fail loudly on source type drift (same policy as append's _check_schema):
+    # select() catches missing columns, but a long n_tok against an int table
+    # column would otherwise write drifted parquet behind the table schema
+    table._check_schema(src.select(*data_cols))
+    if has_delete:
+        dt = dict((f.name, f.dataType.simpleString()) for f in src.schema.fields)[deleted_col]
+        if dt != "boolean":
+            raise ValueError(f"MERGE {deleted_col!r} column must be boolean, got {dt}")
     n_src = src.count()  # materialize once; small relative to target
 
     # ---- 1. pruning: which live files can contain a source key?
@@ -114,6 +122,26 @@ def merge_into(
         upserts = src.filter(~F.col(deleted_col))
     upserts = upserts.select(*data_cols)
 
+    # Output layout WITHOUT re-reading the fat anti-join child. The old shape
+    # repartitionByRange(new_data) sampled its child for range bounds, which
+    # re-executed the touched-file scan + anti-join — the documented
+    # double-evaluation trap (the clustered rewrite got the routed fix first).
+    # Instead each side keeps a layout that is already partition-dir-pure:
+    # - survivors stay scan-aligned: the broadcast anti-join adds no shuffle,
+    #   so write tasks mirror the touched files (partition-pure, ~input-sized;
+    #   bin-packing slivers is maintenance's job, as in Iceberg CoW MERGE);
+    # - only the UPSERT side is range-partitioned on (partition cols, key) —
+    #   its repartitionByRange double-evaluates a CACHED DataFrame, which is
+    #   a cache read, not a table re-scan. This kills the sliver-per-
+    #   partition-dir problem where it actually arises (source rows span many
+    #   partitions per task) at zero extra scan cost.
+    from octocode_spark.lakehouse.maintenance import TARGET_FILE_SIZE
+
+    touched_bytes = sum(f.bytes for f in touched_files)
+    est_src_bytes = int(touched_bytes / max(matched_candidates, 1)) * n_src if matched_candidates else n_src * 4096
+    n_up = max(1, -(-est_src_bytes // TARGET_FILE_SIZE))
+    range_cols = [*table.meta.partition_by, key]
+    upserts = upserts.repartitionByRange(n_up, *range_cols)
     if touched_files:
         survivors = _anti_join_salted(
             table.read_files(spark, touched_files), src.select(key), key, salt_buckets,
@@ -122,18 +150,6 @@ def merge_into(
         new_data = survivors.unionByName(upserts)
     else:
         new_data = upserts
-
-    # size-aware output layout: ceil(bytes/target) files, range-partitioned on
-    # (partition cols, key) so each output file is single-partition-valued
-    # with a tight key range — without this, every write task emits a sliver
-    # per partition dir and the merge re-creates the small-files problem.
-    from octocode_spark.lakehouse.maintenance import TARGET_FILE_SIZE
-
-    touched_bytes = sum(f.bytes for f in touched_files)
-    est_src_bytes = int(touched_bytes / max(matched_candidates, 1)) * n_src if matched_candidates else n_src * 4096
-    n_out = max(1, -(-(touched_bytes + est_src_bytes) // TARGET_FILE_SIZE))
-    range_cols = [*table.meta.partition_by, key]
-    new_data = new_data.repartitionByRange(n_out, *range_cols)
 
     # route new rows into partition dirs; inserts may create new partitions
     added = table._write_datafiles(new_data)

@@ -97,3 +97,51 @@ def test_merge_insert_only_into_empty_partition_space(spark, tmp_table_dir):
     )
     merge_into(spark, t, fresh)
     assert t.read(spark).count() == pre_rows + 20
+
+
+def test_merge_rejects_source_type_drift(spark, tmp_table_dir):
+    """MERGE must fail loudly when a source column's TYPE drifts from the
+    table schema (select() only catches missing columns), and when the
+    deleted flag is not boolean — same policy as append's _check_schema."""
+    import pytest
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=200, small_files=4)
+    drifted = sequence_updates(spark, 200, 50, max_tok_cap=256).withColumn(
+        "n_tok", F.col("n_tok").cast("long")
+    )
+    with pytest.raises(ValueError, match="schema drift"):
+        merge_into(spark, t, drifted)
+    bad_flag = sequence_updates(spark, 200, 50, max_tok_cap=256).withColumn(
+        "deleted", F.col("deleted").cast("int")
+    )
+    with pytest.raises(ValueError, match="must be boolean"):
+        merge_into(spark, t, bad_flag)
+    # the table is untouched by either rejected merge
+    assert t.read(spark).count() == 200
+
+
+def test_merge_range_partitions_only_the_cached_upserts(spark, tmp_table_dir, monkeypatch):
+    """Plan evidence for the double-scan fix: repartitionByRange (whose
+    bounds sampling re-executes its child) must be applied exactly once, to
+    the CACHED upsert side — never to the fat survivors ∪ upserts union,
+    which would re-run the touched-file scan + anti-join."""
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=N, small_files=8)
+    updates = sequence_updates(spark, N, 400, max_tok_cap=256)
+    expected = _expected_after_merge(spark, N, updates)
+
+    # patch the CONCRETE class (pyspark 4: instances are classic.DataFrame,
+    # pyspark.sql.DataFrame is the abstract base and never hit at call time)
+    DataFrame = type(updates)
+    plans = []
+    orig = DataFrame.repartitionByRange
+
+    def spy(self, *a, **k):
+        plans.append(self._jdf.queryExecution().optimizedPlan().toString())
+        return orig(self, *a, **k)
+
+    monkeypatch.setattr(DataFrame, "repartitionByRange", spy)
+    merge_into(spark, t, updates)
+    assert len(plans) == 1, f"expected exactly one repartitionByRange, saw {len(plans)}"
+    assert "InMemoryRelation" in plans[0]  # child is the cached MERGE source
+    assert "Join" not in plans[0]  # NOT the anti-join output
+    assert table_digest(t.read(spark)) == table_digest(expected)
