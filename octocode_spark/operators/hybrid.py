@@ -42,6 +42,48 @@ def keyword_score(text: Column, terms: list[str]) -> Column:
     return score.cast("long")
 
 
+def tokenized_base(
+    docs: DataFrame, terms: list[str], text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """(id, _dl, _tf0.._tfK): doc length + per-query-term term frequencies,
+    pure codegen expressions over one scan."""
+    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
+
+    def _tf(term: str) -> Column:
+        # closure helper: a 2-arg lambda would hit F.filter's (elem, index) form
+        return F.size(F.filter("_toks", lambda w: w == term))
+
+    return docs.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
+        "id",
+        F.size("_toks").alias("_dl"),
+        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
+    )
+
+
+def _bm25_total(n_terms: int, n, avgdl, dfs, k1: float, b: float) -> tuple[Column, Column]:
+    """(score, any_hit) from the shared BM25 expression. ``n``/``avgdl`` are
+    Columns or floats, ``dfs[i]`` likewise — so the identical IEEE expression
+    serves both the 2-scan form (aggregate columns) and the indexed form
+    (driver-folded literals from the term-stats table)."""
+    n = n if isinstance(n, Column) else F.lit(float(n))
+    avgdl = avgdl if isinstance(avgdl, Column) else F.lit(float(avgdl))
+    term_scores = []
+    for i in range(n_terms):
+        df_i = dfs[i] if isinstance(dfs[i], Column) else F.lit(float(dfs[i]))
+        idf = F.log((n - df_i + 0.5) / (df_i + 0.5) + 1)
+        denom = F.col(f"_tf{i}") + F.lit(k1) * (
+            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / avgdl
+        )
+        term_scores.append(idf * (F.col(f"_tf{i}") * F.lit(k1 + 1.0)) / denom)
+    total = term_scores[0]
+    for s in term_scores[1:]:
+        total = total + s
+    any_hit = F.col("_tf0") > 0
+    for i in range(1, n_terms):
+        any_hit = any_hit | (F.col(f"_tf{i}") > 0)
+    return total, any_hit
+
+
 def bm25_scores(
     docs: DataFrame,
     terms: list[str],
@@ -57,22 +99,13 @@ def bm25_scores(
 
     Two scans of `docs` (one for corpus stats, one to score), zero Python.
     The stats row is broadcast, so the score pass stays embarrassingly
-    parallel at any corpus size.
+    parallel at any corpus size. At index-maintained deployments use
+    lakehouse.fts.bm25_scores_indexed — same expression, ONE corpus scan.
     """
     if not terms:
         raise ValueError("bm25_scores requires at least one query term")
     terms = [t.lower() for t in terms]
-    toks = F.regexp_extract_all(F.lower(F.col(text_col)), F.lit(TOKEN_PATTERN), 0)
-
-    def _tf(term: str) -> Column:
-        # closure helper: a 2-arg lambda would hit F.filter's (elem, index) form
-        return F.size(F.filter("_toks", lambda w: w == term))
-
-    base = docs.select(F.col(id_col).alias("id"), toks.alias("_toks")).select(
-        "id",
-        F.size("_toks").alias("_dl"),
-        *[_tf(t).alias(f"_tf{i}") for i, t in enumerate(terms)],
-    )
+    base = tokenized_base(docs, terms, text_col, id_col)
     stats = base.agg(
         F.count(F.lit(1)).cast("double").alias("_n"),
         (F.sum("_dl").cast("double") / F.count(F.lit(1))).alias("_avgdl"),
@@ -82,19 +115,10 @@ def bm25_scores(
         ],
     )
     scored = base.crossJoin(F.broadcast(stats))
-    term_scores = []
-    for i in range(len(terms)):
-        idf = F.log((F.col("_n") - F.col(f"_df{i}") + 0.5) / (F.col(f"_df{i}") + 0.5) + 1)
-        denom = F.col(f"_tf{i}") + F.lit(k1) * (
-            F.lit(1.0) - F.lit(b) + F.lit(b) * F.col("_dl") / F.col("_avgdl")
-        )
-        term_scores.append(idf * (F.col(f"_tf{i}") * F.lit(k1 + 1.0)) / denom)
-    total = term_scores[0]
-    for s in term_scores[1:]:
-        total = total + s
-    any_hit = F.col("_tf0") > 0
-    for i in range(1, len(terms)):
-        any_hit = any_hit | (F.col(f"_tf{i}") > 0)
+    total, any_hit = _bm25_total(
+        len(terms), F.col("_n"), F.col("_avgdl"),
+        [F.col(f"_df{i}") for i in range(len(terms))], k1, b,
+    )
     return scored.filter(any_hit).select("id", total.alias("bm25"))
 
 

@@ -1,0 +1,83 @@
+"""Ingest-maintained BM25 term-stats index (lakehouse/fts.py).
+
+Gate: the indexed scoring path must be BIT-identical to the 2-scan
+`bm25_scores` whenever the index has absorbed the whole corpus — same IEEE
+expression, stats folded as literals — and its plan must contain exactly
+one scan of the documents table (reference: persistent lazy FTS index,
+src/store/table_ops.rs:409-468).
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from octocode_spark.lakehouse.fts import (
+    N_DOCS_KEY,
+    SUM_DL_KEY,
+    bm25_scores_indexed,
+    create_term_stats,
+    ingest_term_stats,
+    term_stats_delta,
+)
+from octocode_spark.operators.hybrid import bm25_scores
+
+SF = "/root/testdata/sf0.001"
+TERMS = ["spark", "join", "window"]
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    return spark.read.parquet(f"{SF}/documents.parquet")
+
+
+def _ingested(spark, docs, tmp_path, batches):
+    t = create_term_stats(str(tmp_path / "terms"))
+    for b in batches:
+        ingest_term_stats(spark, t, b)
+    return t
+
+
+def test_indexed_bm25_equals_two_scan_form(spark, docs, tmp_path):
+    halves = [
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i) for i in (0, 1)
+    ]
+    t = _ingested(spark, docs, tmp_path, halves)
+    got = {
+        r["id"]: r["bm25"]
+        for r in bm25_scores_indexed(spark, docs, t, TERMS).collect()
+    }
+    want = {r["id"]: r["bm25"] for r in bm25_scores(docs, TERMS).collect()}
+    assert got == want  # exact float equality: identical IEEE expression
+
+
+def test_additive_ingest_matches_full_rebuild(spark, docs, tmp_path):
+    thirds = [
+        docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(3)) == i) for i in (0, 1, 2)
+    ]
+    t = _ingested(spark, docs, tmp_path, thirds)
+    got = {r["term"]: r["df"] for r in t.read(spark).collect()}
+    want = {r["term"]: r["df"] for r in term_stats_delta(docs).collect()}
+    assert got == want
+    assert got[N_DOCS_KEY] == docs.count()
+    assert got[SUM_DL_KEY] == sum(
+        r[0] for r in docs.select(
+            F.size(F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0))
+        ).collect()
+    )
+
+
+def test_indexed_plan_scans_corpus_once(spark, docs, tmp_path):
+    t = _ingested(spark, docs, tmp_path, [docs])
+    plan = (
+        bm25_scores_indexed(spark, docs, t, TERMS)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("Scan parquet") == 1  # corpus scanned once, stats are literals
+    assert "documents.parquet" in plan
+
+
+def test_empty_index_raises(spark, docs, tmp_path):
+    t = create_term_stats(str(tmp_path / "empty"))
+    with pytest.raises(ValueError, match="no corpus rows"):
+        bm25_scores_indexed(spark, docs, t, TERMS)
