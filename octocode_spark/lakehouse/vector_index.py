@@ -1,0 +1,84 @@
+"""Persisted IVF vector index — the reference's on-disk vector index
+(src/store/vector_optimizer.rs:130-197, built once at ingest and reused
+across queries) as a `_cell`-partitioned LakeTable.
+
+The split of concerns:
+
+- operators/ann.build_ivf_index — trains the coarse quantizer and assigns
+  cells (compute);
+- this module — PERSISTS the assignment partitioned by `_cell` and stores
+  the centroids in table properties (a few KB of JSON), so a fresh session
+  loads the index without touching the corpus;
+- ivf_search_persisted — ranks centroids driver-side, then plans the scan
+  with `files(partition_filter={"_cell": ...})`: probing n_probe of
+  n_clusters cells is MANIFEST-level file skipping, not a filter over a
+  cached DataFrame. At 100 TB the non-probed cells' files are never opened.
+"""
+
+from __future__ import annotations
+
+import json
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+from octocode_spark.lakehouse.table import DataFile, LakeTable
+from octocode_spark.operators.ann import IvfIndex, brute_force_topk, rank_cells
+
+
+def persist_ivf_index(index: IvfIndex, root: str) -> LakeTable:
+    """Write the cell assignment as a LakeTable partitioned by `_cell`;
+    centroids + index config ride in the table properties."""
+    sample = index.assigned.schema
+    fields = [f for f in sample.fields if f.name in (index.id_col, index.vec_col)]
+    schema = T.StructType(fields + [T.StructField("_cell", T.IntegerType(), False)])
+    t = LakeTable.create(
+        root,
+        schema,
+        partition_by=["_cell"],
+        properties={
+            "ivf.centroids": json.dumps([[float(x) for x in c] for c in index.centroids]),
+            "ivf.id_col": index.id_col,
+            "ivf.vec_col": index.vec_col,
+            "ivf.normalized": "true" if index.normalized else "false",
+        },
+    )
+    t.append(index.assigned.select(index.id_col, index.vec_col, "_cell"))
+    return t
+
+
+def load_ivf_index(root: str) -> LakeTable:
+    t = LakeTable.load(root)
+    if "ivf.centroids" not in t.meta.properties:
+        raise ValueError(f"{root} is not a persisted IVF index (no ivf.centroids)")
+    return t
+
+
+def probe_files(table: LakeTable, cells: list[int]) -> list[DataFile]:
+    """The files of exactly the probed cells — manifest partition pruning,
+    no file outside the n_probe cells is ever planned."""
+    out: list[DataFile] = []
+    for c in cells:
+        out.extend(table.files(partition_filter={"_cell": str(c)}))
+    return out
+
+
+def ivf_search_persisted(
+    spark: SparkSession,
+    table: LakeTable,
+    query: list[float],
+    k: int = 10,
+    n_probe: int = 2,
+) -> DataFrame:
+    """QUERY PATH against the persisted index: centroids from table
+    properties (no corpus IO), probe cells planned as a file list via the
+    manifests, exact cosine re-rank inside those files only."""
+    props = table.meta.properties
+    centroids = json.loads(props["ivf.centroids"])
+    normalized = props.get("ivf.normalized") == "true"
+    cells = rank_cells(centroids, query, normalized)[:n_probe]
+    files = probe_files(table, cells)
+    cand = table.read_files(spark, files).drop("_cell")
+    return brute_force_topk(
+        cand, query, k, props["ivf.id_col"], props["ivf.vec_col"]
+    )

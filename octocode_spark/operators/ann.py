@@ -124,15 +124,18 @@ def lsh_signature_literal(vec: list[float], num_planes: int) -> Column:
 
 class IvfIndex:
     """A built IVF index: coarse-quantizer centroids (driver-side, tiny) +
-    the cell-assigned corpus (distributed). ``assigned`` is what a real
-    deployment persists as a table partitioned/bucketed by ``_cell`` so the
-    search path prunes to n_probe/n_clusters of the corpus at the SCAN."""
+    the cell-assigned corpus (distributed). ``assigned`` is what
+    lakehouse.vector_index persists as a LakeTable partitioned by ``_cell``
+    so the search path prunes to n_probe/n_clusters of the corpus via
+    manifest-level file skipping."""
 
-    def __init__(self, centroids, assigned: DataFrame, id_col: str, vec_col: str):
-        self.centroids = centroids  # list[np.ndarray]
-        self.assigned = assigned    # (id_col, vec_col, _cell)
+    def __init__(self, centroids, assigned: DataFrame, id_col: str, vec_col: str,
+                 normalized: bool = False):
+        self.centroids = centroids    # list[np.ndarray]
+        self.assigned = assigned      # (id_col, vec_col, _cell)
         self.id_col = id_col
         self.vec_col = vec_col
+        self.normalized = normalized  # centroids live on the unit sphere
 
 
 def build_ivf_index(
@@ -142,11 +145,18 @@ def build_ivf_index(
     vec_col: str = "embedding",
     train_fraction: float | None = None,
     cache: bool = True,
+    normalize: bool = True,
 ) -> IvfIndex:
     """INDEX BUILD (run once, reuse for every query): k-means coarse
     quantizer trained on the corpus (or a deterministic md5-bucket sample at
     scale via ``train_fraction``), then one transform pass assigns every
     vector to its cell.
+
+    With ``normalize`` (default) training/assignment run on L2-normalized
+    copies (spherical k-means), making the probe step's L2 centroid ranking
+    consistent with the cosine re-rank — for unnormalized embeddings the
+    nearest-L2 cells could otherwise exclude top-cosine neighbors. The
+    stored corpus vectors stay untouched.
 
     The reference builds its vector index once at ingest and reuses it per
     query (src/store/vector_optimizer.rs); the round-1 shape — KMeans.fit
@@ -155,9 +165,13 @@ def build_ivf_index(
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
 
+    v = F.col(vec_col).cast("array<double>")
+    if normalize:
+        nrm = _norm(v)
+        v = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
     feat = vectors.select(
         F.col(id_col), F.col(vec_col),
-        array_to_vector(F.col(vec_col).cast("array<double>")).alias("_feat"),
+        array_to_vector(v).alias("_feat"),
     )
     train = feat
     if train_fraction is not None and train_fraction < 1.0:
@@ -172,7 +186,8 @@ def build_ivf_index(
     assigned = model.transform(feat).select(id_col, vec_col, "_cell")
     if cache:
         assigned = assigned.cache()
-    return IvfIndex(model.clusterCenters(), assigned, id_col, vec_col)
+    return IvfIndex(model.clusterCenters(), assigned, id_col, vec_col,
+                    normalized=normalize)
 
 
 def ivf_search(
@@ -185,13 +200,23 @@ def ivf_search(
     n_clusters·dim flops — no Spark job), then exact cosine re-rank inside
     the n_probe nearest cells only. No fitting, no full-corpus scan when
     ``index.assigned`` is persisted partitioned by cell."""
+    probe_cells = rank_cells(index.centroids, query, index.normalized)[:n_probe]
+    cand = index.assigned.filter(F.col("_cell").isin(probe_cells)).drop("_cell")
+    return brute_force_topk(cand, query, k, index.id_col, index.vec_col)
+
+
+def rank_cells(centroids, query: list[float], normalized: bool) -> list[int]:
+    """Cells by rising L2 distance to the (unit-normalized, when the index
+    is spherical) query — driver-side numpy, n_clusters·dim flops."""
     import numpy as np
 
     q = np.asarray(query, dtype=float)
-    dists = [float(np.linalg.norm(c - q)) for c in index.centroids]
-    probe_cells = sorted(range(len(dists)), key=lambda i: dists[i])[:n_probe]
-    cand = index.assigned.filter(F.col("_cell").isin(probe_cells)).drop("_cell")
-    return brute_force_topk(cand, query, k, index.id_col, index.vec_col)
+    if normalized:
+        n = float(np.linalg.norm(q))
+        if n > 0:
+            q = q / n
+    dists = [float(np.linalg.norm(np.asarray(c) - q)) for c in centroids]
+    return sorted(range(len(dists)), key=lambda i: dists[i])
 
 
 def ivf_topk(

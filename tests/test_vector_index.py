@@ -1,0 +1,97 @@
+"""Persisted IVF index (lakehouse/vector_index.py): load-without-corpus-IO,
+manifest-level cell pruning, and parity with the in-memory search path."""
+
+from __future__ import annotations
+
+import numpy as np
+import pytest
+
+from octocode_spark.lakehouse.vector_index import (
+    ivf_search_persisted,
+    load_ivf_index,
+    persist_ivf_index,
+    probe_files,
+)
+from octocode_spark.operators.ann import (
+    brute_force_topk,
+    build_ivf_index,
+    ivf_search,
+    rank_cells,
+)
+
+N_CLUSTERS = 4
+
+
+@pytest.fixture(scope="module")
+def clustered(spark):
+    rng = np.random.RandomState(11)
+    base = rng.randn(N_CLUSTERS, 16) * 4
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(60):
+            v = base[c] + rng.randn(16) * 0.1
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").cache()
+    yield vecs, base
+    vecs.unpersist()
+
+
+def test_persisted_search_matches_in_memory(spark, clustered, tmp_path):
+    vecs, base = clustered
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "ivf"))
+    loaded = load_ivf_index(str(tmp_path / "ivf"))
+    for c in range(3):
+        q = [float(x) for x in base[c]]
+        mem = [(r["vec_id"], r["cosine"]) for r in ivf_search(index, q, k=10, n_probe=2).collect()]
+        per = [(r["vec_id"], r["cosine"]) for r in ivf_search_persisted(spark, loaded, q, k=10, n_probe=2).collect()]
+        assert mem == per
+
+
+def test_probe_plans_only_probed_cells_files(spark, clustered, tmp_path):
+    """The scale claim: probing must be manifest-level file skipping — every
+    planned file sits inside a probed cell's partition, and non-probed
+    cells' files are never part of the scan."""
+    vecs, base = clustered
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "ivf2"))
+    all_files = t.files()
+    cells_present = {f.partition["_cell"] for f in all_files}
+    assert len(cells_present) == N_CLUSTERS  # one partition dir per cell
+    q = [float(x) for x in base[0]]
+    probe = rank_cells(
+        index.centroids, q, index.normalized
+    )[:2]
+    planned = probe_files(t, probe)
+    assert planned  # something to scan
+    assert {f.partition["_cell"] for f in planned} <= {str(c) for c in probe}
+    assert len(planned) < len(all_files)  # files outside the probe are skipped
+    # row accounting: scan reads exactly the probed cells' records
+    assert sum(f.records for f in planned) == (
+        index.assigned.filter(f"_cell in ({probe[0]}, {probe[1]})").count()
+    )
+
+
+def test_persisted_recall_gate(spark, clustered, tmp_path):
+    vecs, base = clustered
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "ivf3"))
+    hits = 0
+    for c in range(3):
+        q = [float(x) for x in base[c]]
+        exact = {r["vec_id"] for r in brute_force_topk(vecs, q, k=10).collect()}
+        approx = {r["vec_id"] for r in ivf_search_persisted(spark, t, q, k=10, n_probe=2).collect()}
+        hits += len(exact & approx)
+    assert hits / 30 >= 0.9
+
+
+def test_load_rejects_non_index_table(spark, tmp_path, clustered):
+    vecs, _ = clustered
+    from octocode_spark.lakehouse.table import LakeTable
+
+    plain = LakeTable.create(str(tmp_path / "plain"), vecs.schema)
+    plain.append(vecs)
+    with pytest.raises(ValueError, match="not a persisted IVF index"):
+        load_ivf_index(str(tmp_path / "plain"))
