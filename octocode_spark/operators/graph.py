@@ -37,30 +37,10 @@ def k_hop_neighbors(edges: DataFrame, seeds: DataFrame, k: int = 2,
     return visited
 
 
-def relationships_by_type(
-    edges: DataFrame,
-    rel_type: str | None = None,
-    node: str | None = None,
-    direction: str = "both",  # out | in | both
-    page_size: int = 100,
-    page: int = 0,
-    src: str = "src",
-    dst: str = "dst",
-    type_col: str = "rel_type",
+def _rel_filtered(
+    edges: DataFrame, rel_type: str | None, node: str | None, direction: str,
+    src: str, dst: str, type_col: str,
 ) -> DataFrame:
-    """Typed/directed relationship query with pagination (Q12 — the
-    reference's get_relationships_by_type, src/store/graphrag.rs:1017:
-    filter by relationship type, by node + direction, deterministic order,
-    offset/limit pages).
-
-    Offset pagination needs a total order — (src, dst, type). The window is
-    computed AFTER the type/node filters so the sort touches only the
-    selected slice; at 10^12-edge scale prefer keyset pagination
-    (``F.struct(src, dst) > last_seen``), which composes with the same
-    filters — offset is the reference's API contract, so it's what ships.
-    """
-    from pyspark.sql import Window
-
     out = edges
     if rel_type is not None:
         out = out.filter(F.col(type_col) == rel_type)
@@ -72,10 +52,75 @@ def relationships_by_type(
         else:
             cond = (F.col(src) == node) | (F.col(dst) == node)
         out = out.filter(cond)
+    return out
+
+
+def relationships_by_type_keyset(
+    edges: DataFrame,
+    rel_type: str | None = None,
+    node: str | None = None,
+    direction: str = "both",  # out | in | both
+    page_size: int = 100,
+    after: tuple[str, str, str] | None = None,
+    src: str = "src",
+    dst: str = "dst",
+    type_col: str = "rel_type",
+) -> DataFrame:
+    """Keyset page of typed/directed relationships: rows with cursor
+    (src, dst, rel_type) > ``after``, ordered, ``page_size`` rows.
+
+    The scale shape: the cursor is a plain pushdown-able predicate and the
+    sort+limit compiles to TakeOrderedAndProject — per-partition partial
+    top-k merged on the driver. No global row_number window, so a type-only
+    query never funnels every matching edge through one reducer."""
+    out = _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
+    if after is not None:
+        a_src, a_dst, a_type = after
+        out = out.filter(
+            F.struct(F.col(src), F.col(dst), F.col(type_col))
+            > F.struct(F.lit(a_src), F.lit(a_dst), F.lit(a_type))
+        )
+    return (
+        out.select(src, dst, type_col)
+        .orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
+        .limit(page_size)
+    )
+
+
+def relationships_by_type(
+    edges: DataFrame,
+    rel_type: str | None = None,
+    node: str | None = None,
+    direction: str = "both",  # out | in | both
+    page_size: int = 100,
+    page: int = 0,
+    src: str = "src",
+    dst: str = "dst",
+    type_col: str = "rel_type",
+) -> DataFrame:
+    """Typed/directed relationship query with OFFSET pagination (Q12 — the
+    reference's get_relationships_by_type, src/store/graphrag.rs:1017:
+    filter by relationship type, by node + direction, deterministic order,
+    offset/limit pages). Kept as the reference's API contract; prefer
+    relationships_by_type_keyset for deep paging.
+
+    Implementation is a wrapper over the keyset shape: sort + offset +
+    limit (TakeOrderedAndProject with offset — per-partition partial
+    top-(offset+size), never a global row_number over all matching edges).
+    The `rn` column is recomputed over the returned slice only, which is
+    ≤ page_size rows — bounded, so its single-partition window is fine."""
+    from pyspark.sql import Window
+
+    lo = page * page_size
+    sliced = (
+        _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
+        .select(src, dst, type_col)
+        .orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
+        .offset(lo)
+        .limit(page_size)
+    )
     w = Window.orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
-    out = out.withColumn("rn", F.row_number().over(w))
-    lo, hi = page * page_size, (page + 1) * page_size
-    return out.filter((F.col("rn") > lo) & (F.col("rn") <= hi))
+    return sliced.withColumn("rn", F.row_number().over(w) + F.lit(lo))
 
 
 def shortest_path(

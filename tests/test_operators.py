@@ -398,3 +398,48 @@ def test_stratified_sample_deterministic_and_bounded(spark):
     assert a == b  # same rows at any partitioning
     assert all(i % 2 == 0 for i in a)  # unlisted sources fully dropped
     assert 0.4 < len(a) / 2000 < 0.6  # ~50% of the stratum
+
+
+def test_relationships_keyset_pagination_and_plan(spark):
+    """Keyset pages must stitch into the same sequence as offset pages, and
+    neither path may compute a global row_number over all matching edges:
+    keyset compiles to TakeOrderedAndProject alone; the offset wrapper's
+    Window sits ABOVE the TakeOrderedAndProject(offset=...), i.e. over the
+    <= page_size slice only."""
+    from octocode_spark.operators.graph import (
+        relationships_by_type,
+        relationships_by_type_keyset,
+    )
+
+    rows = [(f"s{i % 50:02d}", f"d{i % 97:02d}", f"t{i % 3}") for i in range(3000)]
+    edges = spark.createDataFrame(
+        rows, "src: string, dst: string, rel_type: string"
+    ).repartition(8)
+
+    pages, after = [], None
+    for _ in range(3):
+        page = relationships_by_type_keyset(
+            edges, rel_type="t0", page_size=7, after=after
+        ).collect()
+        pages.extend((r["src"], r["dst"], r["rel_type"]) for r in page)
+        after = (page[-1]["src"], page[-1]["dst"], page[-1]["rel_type"])
+    offset_rows = [
+        (r["src"], r["dst"], r["rel_type"])
+        for p in range(3)
+        for r in relationships_by_type(edges, rel_type="t0", page_size=7, page=p).collect()
+    ]
+    assert pages == offset_rows
+
+    ks_plan = (
+        relationships_by_type_keyset(edges, rel_type="t0", page_size=7)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in ks_plan and "Window" not in ks_plan
+    off_plan = (
+        relationships_by_type(edges, rel_type="t0", page_size=7, page=2)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "offset=14" in off_plan
+    # plans print top-down: the (bounded) Window sits ABOVE the slice
+    assert off_plan.index("Window") < off_plan.index("TakeOrderedAndProject")
+    assert off_plan.count("Window") == 1
