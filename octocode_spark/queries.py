@@ -1579,8 +1579,11 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.3).orderBy("a", "b")
 
 
-@_q("q29_multimodal_features")  # no oracle: mapInPandas stub decode
+@_q("q29_multimodal_features")  # no oracle: mapInPandas decode not SQL-expressible
 def q29(spark: SparkSession, sf: str) -> DataFrame:
+    """Features from REALLY-decoded media: image payloads are valid PPM,
+    audio payloads valid WAV PCM-16, parsed by dependency-free numpy
+    decoders inside the Arrow batches (video remains a disclosed stub)."""
     from octocode_spark.operators.multimodal import extract_features, synthetic_media
 
     feats = extract_features(synthetic_media(spark, 120))
