@@ -30,6 +30,35 @@ BM25_K1 = 1.2
 BM25_B = 0.75
 TOKEN_PATTERN = "[a-z0-9]+"  # code-style: lowercase alnum runs
 
+# reference defaults (src/config.rs:204-231): vector 0.6 / keyword 0.4,
+# auto-tilted to 0.3/0.7 for identifier-shaped queries
+DEFAULT_VECTOR_WEIGHT = 0.6
+DEFAULT_KEYWORD_WEIGHT = 0.4
+IDENTIFIER_VECTOR_WEIGHT = 0.3
+IDENTIFIER_KEYWORD_WEIGHT = 0.7
+_QUERY_SYMBOL_CHARS = set("_:(.<>")
+
+
+def classify_query_weights(
+    query: str,
+    default_vector_weight: float = DEFAULT_VECTOR_WEIGHT,
+    default_keyword_weight: float = DEFAULT_KEYWORD_WEIGHT,
+) -> tuple[float, float]:
+    """(vector_weight, keyword_weight) from a deterministic query-shape
+    heuristic — no LLM (reference classify_query_weights,
+    src/indexer/search.rs:1743-1756): a short query (≤3 words) containing
+    code punctuation (_ : ( . < >) or camelCase is an identifier lookup and
+    leans on BM25 (0.3/0.7), because BM25 owns exact identifier matches
+    while dense vectors own paraphrased intent; anything else keeps the
+    configured defaults."""
+    q = query.strip()
+    word_count = len(q.split())
+    has_symbol = any(c in _QUERY_SYMBOL_CHARS for c in q)
+    mixed_case = any(c.islower() for c in q) and any(c.isupper() for c in q)
+    if word_count <= 3 and (has_symbol or mixed_case):
+        return IDENTIFIER_VECTOR_WEIGHT, IDENTIFIER_KEYWORD_WEIGHT
+    return default_vector_weight, default_keyword_weight
+
 
 def keyword_score(text: Column, terms: list[str]) -> Column:
     """Raw term-frequency score (word-boundary matches) — kept as the cheap
@@ -183,4 +212,32 @@ def hybrid_search(
     return weighted_rrf(
         [(kw, keyword_weight, "bm25q", False), (vec, vector_weight, "cosq", False)],
         limit=k,
+    )
+
+
+def hybrid_search_auto(
+    docs: DataFrame,
+    vectors: DataFrame,
+    query_text: str,
+    query_vec_id: int,
+    k: int = 20,
+    candidates: int = 100,
+    default_vector_weight: float = DEFAULT_VECTOR_WEIGHT,
+    default_keyword_weight: float = DEFAULT_KEYWORD_WEIGHT,
+) -> DataFrame:
+    """hybrid_search with the query-shape auto weight tilt: terms come from
+    the query text (same tokenizer as the corpus), weights from
+    classify_query_weights — 'getUserById' fuses 0.3/0.7, a natural-language
+    sentence keeps the configured defaults."""
+    import re
+
+    vw, kw_w = classify_query_weights(
+        query_text, default_vector_weight, default_keyword_weight
+    )
+    terms = re.findall(TOKEN_PATTERN, query_text.lower())
+    if not terms:
+        raise ValueError("query text contains no indexable terms")
+    return hybrid_search(
+        docs, vectors, terms, query_vec_id, k,
+        vector_weight=vw, keyword_weight=kw_w, candidates=candidates,
     )

@@ -443,3 +443,42 @@ def test_relationships_keyset_pagination_and_plan(spark):
     # plans print top-down: the (bounded) Window sits ABOVE the slice
     assert off_plan.index("Window") < off_plan.index("TakeOrderedAndProject")
     assert off_plan.count("Window") == 1
+
+
+def test_query_shape_auto_weight_tilt(spark):
+    """Deterministic query-shape classifier (reference
+    src/indexer/search.rs:1743-1756): short identifier-shaped queries tilt
+    to 0.3/0.7 keyword; natural language keeps the 0.6/0.4 defaults; and
+    hybrid_search_auto actually fuses with the tilted weights."""
+    from octocode_spark.operators.hybrid import (
+        classify_query_weights,
+        hybrid_search,
+        hybrid_search_auto,
+    )
+
+    assert classify_query_weights("getUserById") == (0.3, 0.7)
+    assert classify_query_weights("parse_config file") == (0.3, 0.7)
+    assert classify_query_weights("Vec<String> iter") == (0.3, 0.7)
+    assert classify_query_weights("store.commit()") == (0.3, 0.7)
+    assert classify_query_weights("how does the merge handle deletes") == (0.6, 0.4)
+    assert classify_query_weights("spark join window") == (0.6, 0.4)  # 3 plain words
+    assert classify_query_weights("weights", 0.8, 0.2) == (0.8, 0.2)  # defaults pass through
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    # identifier-shaped: one mixed-case word tokenizing to the same 3 terms
+    auto_ident = hybrid_search_auto(docs, vecs, "Spark.join(window)", 0, k=10).collect()
+    explicit = hybrid_search(
+        docs, vecs, ["spark", "join", "window"], 0, k=10,
+        vector_weight=0.3, keyword_weight=0.7,
+    ).collect()
+    assert [r.asDict() for r in auto_ident] == [r.asDict() for r in explicit]
+    # natural-language: same terms, default 0.6/0.4 fusion
+    auto_nl = hybrid_search_auto(
+        docs, vecs, "where does spark put the join inside a window stage", 0, k=10
+    ).collect()
+    nl_terms = "where does spark put the join inside a window stage".split()
+    explicit_nl = hybrid_search(
+        docs, vecs, nl_terms, 0, k=10, vector_weight=0.6, keyword_weight=0.4
+    ).collect()
+    assert [r.asDict() for r in auto_nl] == [r.asDict() for r in explicit_nl]
