@@ -433,7 +433,15 @@ class LakeTable:
         with the already-harvested stats (no data re-read, no Spark job).
         Import is just ``LakeTable.load(dest_root)``; the export is a normal
         table (relative paths ⇒ relocatable), fully detached from the source.
-        Reference analog: metadata portability of the index directory."""
+        Reference analog: metadata portability of the index directory.
+
+        SCHEMA: the export always carries the table's LATEST schema
+        (refreshed here), even for a pinned older snapshot. That is sound
+        because evolution only ever ADDS nullable columns (never drops or
+        retypes — enforced by evolve_schema), so reading the snapshot's
+        files under the latest schema null-fills the columns they predate,
+        exactly as a time-travel read of the source table would."""
+        self.refresh()
         files = self.files(snapshot_id)
         props = {k: v for k, v in self.meta.properties.items() if not k.startswith("branch:")}
         out = LakeTable.create(
@@ -558,18 +566,26 @@ class LakeTable:
         self,
         spark: SparkSession,
         predicate,
-        partition_filter: dict[str, str] | None = None,
-        stat_filter: Callable[[DataFile], bool] | None = None,
+        prune_partition_filter: dict[str, str] | None = None,
+        prune_stat_filter: Callable[[DataFile], bool] | None = None,
     ) -> Snapshot | None:
         """Copy-on-write DELETE: rewrite only files containing matching rows.
 
         ``predicate`` is a Column. File selection prunes METADATA-FIRST —
-        ``partition_filter`` / ``stat_filter`` (e.g. ``stat_range_filter``)
-        restrict the candidate scan to files whose manifest partition values
-        and min/max stats can possibly match, so at manifest scale the
-        confirm-scan never touches the whole table — then the per-file
-        anti-filter rewrite. Analog of reference delete-by-predicate
-        (src/store/table_ops.rs:141-182) but file-granular, not table-scan.
+        ``prune_partition_filter`` / ``prune_stat_filter`` (e.g.
+        ``stat_range_filter``) restrict the candidate scan to files whose
+        manifest partition values and min/max stats can possibly match, so at
+        manifest scale the confirm-scan never touches the whole table — then
+        the per-file anti-filter rewrite. Analog of reference
+        delete-by-predicate (src/store/table_ops.rs:141-182) but
+        file-granular, not table-scan.
+
+        ⚠ The prune_* filters CHANGE DELETE SEMANTICS if inconsistent with
+        the predicate: a matching row inside a pruned-away file SURVIVES the
+        DELETE with no error (in Iceberg, pruning is derived from the
+        predicate itself and cannot disagree). They are a performance hint
+        that must be IMPLIED by the predicate — pass a filter only when every
+        row the predicate matches provably lives inside files it keeps.
 
         SQL DELETE semantics: a row is deleted iff the predicate is TRUE;
         rows where it evaluates NULL are KEPT (same as Iceberg/ANSI) — hence
@@ -578,7 +594,9 @@ class LakeTable:
         from pyspark.sql import functions as F
 
         pred_true = F.coalesce(predicate.cast("boolean"), F.lit(False))
-        files = self.files(partition_filter=partition_filter, stat_filter=stat_filter)
+        files = self.files(
+            partition_filter=prune_partition_filter, stat_filter=prune_stat_filter
+        )
         if not files:
             return None
         src = self.read_files(spark, files).withColumn("_file", F.input_file_name())
@@ -704,8 +722,16 @@ class LakeTable:
         blind orphan scan, it can never race an in-flight writer's staged
         files, because every deleted path was committed in an expired
         snapshot. Deleted paths land in ``self.last_gc_files``.
+
+        AGE FLOOR: when ``clean_files`` is on and ``older_than_ms`` is None,
+        the cutoff defaults to now − ORPHAN_GRACE_MS (Iceberg's
+        max-snapshot-age analog) so a concurrent reader that just resolved a
+        superseded snapshot cannot have its files unlinked mid-scan. Pass an
+        explicit ``older_than_ms`` (e.g. now) for immediate deletion.
         """
         retain_last = max(retain_last, 1)
+        if clean_files and older_than_ms is None:
+            older_than_ms = _now_ms() - self.ORPHAN_GRACE_MS
         self.last_gc_files: list[str] = []
         while True:
             meta = load_latest_metadata(self.root)

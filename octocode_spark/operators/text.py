@@ -153,14 +153,18 @@ def redact_pii(text: Column) -> Column:
 
 
 def count_pii(text: Column) -> Column:
-    """Number of PII spans redact_pii would replace (pre-redaction count,
-    evaluated on the same fixed pattern order)."""
+    """Number of placeholders redact_pii emits — DEFINITIONALLY: each stage
+    counts matches on the SAME placeholder-substituted intermediate that
+    redact_pii's chain produces (an earlier ' '-scrubbed variant could
+    disagree when a replacement changes adjacency for later patterns, e.g.
+    digits abutting a scrubbed span). Placeholders contain no digits or '@',
+    so they are inert to every later pattern."""
     total = None
-    scrubbed = text
-    for _name, pat in _PII_PATTERNS:
-        n = F.size(F.regexp_extract_all(scrubbed, F.lit(pat), 0))
+    chain = text
+    for name, pat in _PII_PATTERNS:
+        n = F.size(F.regexp_extract_all(chain, F.lit(pat), 0))
         total = n if total is None else total + n
-        scrubbed = F.regexp_replace(scrubbed, pat, " ")
+        chain = F.regexp_replace(chain, pat, f"<{name.upper()}>")
     return total.cast("long")
 
 

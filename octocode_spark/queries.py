@@ -1343,20 +1343,18 @@ def q47(spark: SparkSession, sf: str) -> DataFrame:
                     ELSE text END AS t
         FROM documents),
     stage1 AS (
-        SELECT doc_id, t,
+        SELECT doc_id,
                len(regexp_extract_all(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}')) AS n1,
-               regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', ' ', 'g') AS t1,
                regexp_replace(t, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', '<EMAIL>', 'g') AS r1
         FROM aug),
     stage2 AS (
-        SELECT doc_id, n1,
-               n1 + len(regexp_extract_all(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n2,
-               regexp_replace(t1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', ' ', 'g') AS t2,
+        SELECT doc_id,
+               n1 + len(regexp_extract_all(r1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b')) AS n2,
                regexp_replace(r1, '\\b(?:[0-9]{1,3}\\.){3}[0-9]{1,3}\\b', '<IPV4>', 'g') AS r2
         FROM stage1),
     stage3 AS (
         SELECT doc_id,
-               n2 + len(regexp_extract_all(t2, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_pii,
+               n2 + len(regexp_extract_all(r2, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}')) AS n_pii,
                regexp_replace(r2, '\\+?[0-9]{1,3}[-. ]?\\(?[0-9]{3}\\)?[-. ][0-9]{3}[-. ][0-9]{4}', '<PHONE>', 'g') AS redacted
         FROM stage2)
     SELECT doc_id, CAST(n_pii AS BIGINT) AS n_pii,

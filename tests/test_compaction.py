@@ -61,7 +61,11 @@ def test_full_maintenance_end_to_end(spark, tmp_table_dir, tmp_path):
     t = make_sequences_table(spark, tmp_table_dir, n_rows=2500, small_files=20)
     pre = table_digest(t.read(spark))
     ledger = Ledger(str(tmp_path / "ledger"))
-    out = full_maintenance(spark, t, ledger=ledger, cluster_by="hilbert", retain_last=1)
+    import time as _time
+    out = full_maintenance(
+        spark, t, ledger=ledger, cluster_by="hilbert", retain_last=1,
+        expire_older_than_ms=int(_time.time() * 1000) + 60_000,  # explicit: reap now
+    )
     assert out["rewrite"].partitions_done
     assert out["expired_files_removed"] > 0  # expire reaped its own files
     assert out["orphans_removed"] == 0  # nothing inside the writer grace window

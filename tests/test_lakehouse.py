@@ -114,7 +114,11 @@ def test_expire_and_orphan_gc_preserve_current(spark, tmp_table_dir):
     )
     t.append(extra)
     t.overwrite_all(t.read(spark))  # churn: makes old files unreferenced-by-current
-    expired = t.expire_snapshots(retain_last=1)
+    # age floor: with clean_files on and no explicit cutoff, FRESH snapshots
+    # must survive (a concurrent reader could still be scanning them)
+    assert t.expire_snapshots(retain_last=1) == []
+    import time as _time
+    expired = t.expire_snapshots(older_than_ms=int(_time.time() * 1000) + 60_000, retain_last=1)
     assert expired
     # expire deletes the files only the expired snapshots referenced
     assert t.last_gc_files

@@ -482,3 +482,29 @@ def test_query_shape_auto_weight_tilt(spark):
         docs, vecs, nl_terms, 0, k=10, vector_weight=0.6, keyword_weight=0.4
     ).collect()
     assert [r.asDict() for r in auto_nl] == [r.asDict() for r in explicit_nl]
+
+
+def test_count_pii_equals_placeholders_emitted(spark):
+    """count_pii is DEFINED as the number of placeholders redact_pii emits —
+    including adjacency-sensitive cases where a replacement changes what a
+    later pattern can match (digits abutting a scrubbed span)."""
+    from octocode_spark.operators.text import count_pii, redact_pii
+
+    rows = [
+        (1, "mail a@b.com and 10.0.0.1 then +1 212-555-1234 done"),
+        (2, "glued a@b.com1 212-555-1234 trailing"),      # digit abuts the email
+        (3, "ip10.0.0.42end and x@y.io."),
+        (4, "no pii at all in this row"),
+        (5, "a@b.com c@d.net 192.168.0.1 10.0.0.2 1 333-444-5555"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id: long, text: string").select(
+        "doc_id",
+        count_pii(F.col("text")).alias("n"),
+        F.size(
+            F.regexp_extract_all(
+                redact_pii(F.col("text")), F.lit("<(EMAIL|IPV4|PHONE)>"), 0
+            )
+        ).cast("long").alias("placeholders"),
+    )
+    for r in df.collect():
+        assert r["n"] == r["placeholders"], r

@@ -66,7 +66,8 @@ def test_wap_branch_heads_survive_expiry(spark, tmp_table_dir):
     # churn main so old snapshots expire
     t.append(_rows_ge(spark, 600, 620))
     t.append(_rows_ge(spark, 700, 720))
-    t.expire_snapshots(retain_last=1)
+    import time as _time
+    t.expire_snapshots(older_than_ms=int(_time.time() * 1000) + 60_000, retain_last=1)
     # the branch head snapshot is protected and fully readable
     ids = {s.snapshot_id for s in t.meta.snapshots}
     assert head in ids
