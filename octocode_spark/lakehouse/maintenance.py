@@ -136,6 +136,7 @@ class RewriteResult:
     rows: int
     seconds: float
     snapshots: list[int]
+    phases: dict = field(default_factory=dict)  # per-phase seconds (bench attribution)
 
 
 def rewrite_partitions(
@@ -382,9 +383,12 @@ def rewrite_global(
             .drop("_zkey")
         )
         added = table._write_datafiles(df)
+        res.phases.update(getattr(table, "last_write_phases", {}))
         return _commit_global(table, todo, added, ledger, op, cluster_by, res, t0)
 
+    t_s0 = time.monotonic()
     routed = _sample_bucket_cuts(spark, table, todo, cluster_by, samples_per_file)
+    res.phases["sample_s"] = round(time.monotonic() - t_s0, 3)
     n_buckets = sum(max(len(cuts) + 1, 1) for _, _, cuts in routed)
     labels = _reducer_labels(n_buckets)
 
@@ -423,11 +427,13 @@ def rewrite_global(
         .drop("_zkey", "_route")
     )
     added = table._write_datafiles(df)
+    res.phases.update(getattr(table, "last_write_phases", {}))
     return _commit_global(table, todo, added, ledger, op, cluster_by, res, t0)
 
 
 def _commit_global(table, todo, added, ledger, op, cluster_by, res, t0) -> RewriteResult:
     """Per-partition atomic commits + ledger rows from one global write."""
+    t_c0 = time.monotonic()
     added_by_part: dict[str, list[DataFile]] = {}
     for f in added:
         added_by_part.setdefault(partition_key(f.partition), []).append(f)
@@ -451,6 +457,7 @@ def _commit_global(table, todo, added, ledger, op, cluster_by, res, t0) -> Rewri
     if added_by_part:  # outputs for partitions not in the plan: impossible by
         # construction (inputs came only from plan partitions), fail loudly
         raise RuntimeError(f"unplanned output partitions: {sorted(added_by_part)}")
+    res.phases["commit_s"] = round(time.monotonic() - t_c0, 3)
     res.seconds = time.monotonic() - t0
     return res
 

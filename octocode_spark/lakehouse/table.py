@@ -183,6 +183,7 @@ class LakeTable:
         / 10^5 output files the driver keeps only the rename loop (zero-copy
         metadata step) and the manifest+CAS; footer IO is executor-side. The
         harvest closure is self-contained (no package import on workers)."""
+        t_w0 = time.monotonic()
         staging = os.path.join(self.root, "_tmp", uuid.uuid4().hex)
         part_cols = self.meta.partition_by
         writer_df = df
@@ -195,6 +196,7 @@ class LakeTable:
                 writer_df = writer_df.withColumn(f"_p_{c}", writer_df[c])
             writer = writer_df.write.mode("overwrite").partitionBy([f"_p_{c}" for c in part_cols])
         writer.parquet(staging)
+        t_w1 = time.monotonic()
 
         moved: list[tuple[str, dict[str, str]]] = []  # (rel_path, partition)
         for dirpath, _dirs, names in os.walk(staging):
@@ -270,6 +272,7 @@ class LakeTable:
                     stats[col] = [_j(lo), _j(hi)]
             return rel, partition, records, size, stats
 
+        t_h0 = time.monotonic()
         if len(moved) >= self.HARVEST_DISTRIBUTED_MIN:
             sc = df.sparkSession.sparkContext
             slices = min(len(moved), sc.defaultParallelism * 2)
@@ -280,6 +283,14 @@ class LakeTable:
             DataFile(path=rel, partition=part, records=rec, bytes=size, stats=stats)
             for rel, part, rec, size, stats in payloads
         ]
+        # per-phase attribution for benchmarks: write job vs staging-move vs
+        # footer-stat harvest (overwritten on every write; read immediately
+        # after the call by the maintenance instrumentation)
+        self.last_write_phases = {
+            "write_s": round(t_w1 - t_w0, 3),
+            "move_s": round(t_h0 - t_w1, 3),
+            "harvest_s": round(time.monotonic() - t_h0, 3),
+        }
         return [f for f in dfiles if f.records > 0]
 
     def _check_schema(self, df: DataFrame) -> None:

@@ -143,10 +143,17 @@ def shortest_path(
     simple; the per-node lexicographic min provably extends to the global
     lexicographic-min shortest path. Returns 1 row (hops, path) or 0 rows.
     """
-    spark = edges.sparkSession
     e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
     if not directed:
         e = e.unionByName(edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))).distinct()
+    return _shortest_path_on(edges.sparkSession, e, source_id, target_id, max_hops)
+
+
+def _shortest_path_on(
+    spark, e: DataFrame, source_id: str, target_id: str, max_hops: int
+) -> DataFrame:
+    """BFS core over a prepared (_s, _d) edge frame (direction already
+    expanded) — shared by shortest_path and AdjacencyCache."""
     visited = spark.createDataFrame(
         [(source_id, 0, [source_id])], "id: string, hops: int, path: array<string>"
     )
@@ -185,6 +192,59 @@ def shortest_path(
     finally:
         for c in cached:
             c.unpersist()
+
+
+class AdjacencyCache:
+    """Materialized adjacency reused across traversals — the Spark analog of
+    the reference's adjacency cache with hit-rate stats
+    (src/store/graphrag.rs:54-180). The edge list is projected to (_s, _d),
+    direction-expanded ONCE, hash-partitioned on the join key and persisted:
+    every subsequent k-hop / shortest-path call joins the SAME cached,
+    co-partitioned frame instead of re-scanning + re-expanding the raw
+    edges table per call (and the exchange on _s is reused across hops)."""
+
+    def __init__(
+        self,
+        edges: DataFrame,
+        src: str = "src",
+        dst: str = "dst",
+        directed: bool = True,
+        num_partitions: int | None = None,
+    ):
+        e = edges.select(F.col(src).alias("_s"), F.col(dst).alias("_d"))
+        if not directed:
+            e = e.unionByName(
+                edges.select(F.col(dst).alias("_s"), F.col(src).alias("_d"))
+            )
+        e = e.distinct()
+        n = num_partitions or edges.sparkSession.sparkContext.defaultParallelism
+        self.adj = e.repartition(n, "_s").persist()
+        self.adj_rows = self.adj.count()  # materialize the cache eagerly
+        self.directed = directed
+        self.calls = 0
+
+    def k_hop(self, seeds: DataFrame, k: int = 2) -> DataFrame:
+        self.calls += 1
+        return k_hop_neighbors(self.adj, seeds, k, src="_s", dst="_d")
+
+    def shortest_path(self, source_id: str, target_id: str, max_hops: int = 6) -> DataFrame:
+        self.calls += 1
+        return _shortest_path_on(
+            self.adj.sparkSession, self.adj, source_id, target_id, max_hops
+        )
+
+    def stats(self) -> dict:
+        """Reference-style cache stats: every call after the build is a hit
+        (the cache is eager and immutable)."""
+        return {
+            "adj_rows": self.adj_rows,
+            "calls_served": self.calls,
+            "partitions": self.adj.rdd.getNumPartitions(),
+            "cached": self.adj.is_cached,
+        }
+
+    def unpersist(self) -> None:
+        self.adj.unpersist()
 
 
 def weighted_neighbor_scores(edges: DataFrame, seeds: DataFrame,

@@ -1636,6 +1636,53 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     return cosine_near_pairs(_t(spark, sf, "embeddings"), threshold=0.3, num_planes=4).orderBy("a", "b")
 
 
+@_q("q51_bm25_indexed", _ORACLES["q41_bm25_topk"])
+def q51(spark: SparkSession, sf: str) -> DataFrame:
+    """BM25 via the INGEST-MAINTAINED term-stats index (lakehouse/fts.py):
+    the corpus is ingested in two batches into a (term, df) LakeTable, then
+    scored with ONE corpus scan (stats folded as driver-side literals).
+    Oracle = q41's full-recompute SQL — the indexed path must be
+    bit-identical to the 2-scan form."""
+    import shutil
+    import tempfile
+
+    from octocode_spark.lakehouse.fts import (
+        bm25_scores_indexed,
+        create_term_stats,
+        ingest_term_stats,
+    )
+
+    d = _t(spark, sf, "documents")
+    tmp = tempfile.mkdtemp(prefix="q51_terms_")
+    t = create_term_stats(tmp + "/terms")
+    for i in (0, 1):
+        ingest_term_stats(spark, t, d.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == i))
+    out = (
+        bm25_scores_indexed(spark, d, t, ["spark", "join", "window"])
+        .select("id", F.round("bm25", 6).alias("bm25"))
+        .orderBy(F.col("bm25").desc(), F.col("id").asc())
+        .limit(50)
+    )
+    # the stats were collected into literals; the returned plan reads ONLY
+    # the documents scan, so the index directory can go away immediately
+    shutil.rmtree(tmp, ignore_errors=True)
+    return out
+
+
+@_q("q52_hybrid_auto_tilt", _ORACLES["q38_hybrid_search"])
+def q52(spark: SparkSession, sf: str) -> DataFrame:
+    """Hybrid search through the query-shape classifier: the identifier-
+    shaped query text 'Spark.join(window)' must tokenize to q38's terms and
+    auto-tilt to the 0.3/0.7 keyword fusion — so q38's oracle is this
+    query's oracle verbatim."""
+    from octocode_spark.operators.hybrid import hybrid_search_auto
+
+    return hybrid_search_auto(
+        _t(spark, sf, "documents"), _t(spark, sf, "embeddings"),
+        "Spark.join(window)", query_vec_id=0, k=20,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -508,3 +508,37 @@ def test_count_pii_equals_placeholders_emitted(spark):
     )
     for r in df.collect():
         assert r["n"] == r["placeholders"], r
+
+
+def test_adjacency_cache_matches_direct_traversals(spark):
+    """AdjacencyCache (materialized, co-partitioned, persisted) must return
+    the same k-hop and shortest-path answers as the direct operators, serve
+    repeat calls from the cached frame, and report hit stats."""
+    from octocode_spark.operators.graph import (
+        AdjacencyCache,
+        k_hop_neighbors,
+        shortest_path,
+    )
+
+    rows = [("s", "b"), ("b", "t"), ("s", "a"), ("a", "t"),
+            ("s", "c"), ("c", "d"), ("d", "t"), ("i1", "i2")]
+    edges = spark.createDataFrame(rows, "src: string, dst: string")
+    seeds = spark.createDataFrame([("s",)], "id: string")
+
+    cache = AdjacencyCache(edges, directed=False)
+    try:
+        direct = {(r["id"], r["hops"]) for r in k_hop_neighbors(
+            edges.unionByName(edges.selectExpr("dst as src", "src as dst")).distinct(),
+            seeds, k=2).collect()}
+        via_cache = {(r["id"], r["hops"]) for r in cache.k_hop(seeds, k=2).collect()}
+        assert via_cache == direct
+
+        sp_direct = shortest_path(edges, "s", "t", directed=False).collect()
+        sp_cached = cache.shortest_path("s", "t").collect()
+        assert [r.asDict() for r in sp_cached] == [r.asDict() for r in sp_direct]
+
+        st = cache.stats()
+        assert st["cached"] and st["calls_served"] == 2
+        assert st["adj_rows"] == 16  # 8 edges, both directions, all distinct
+    finally:
+        cache.unpersist()
