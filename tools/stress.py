@@ -73,7 +73,10 @@ def main() -> None:
     )
     gates["merge_digest_equal"] = table_digest(t.read(spark)) == table_digest(expected)
 
-    expired = t.expire_snapshots(retain_last=1)  # deletes expired-only files
+    import time as _time
+    # explicit cutoff: the default age floor (reader-safety) would spare
+    # these seconds-old snapshots; the stress wants immediate reaping
+    expired = t.expire_snapshots(older_than_ms=int(_time.time() * 1000) + 60_000, retain_last=1)
     t.remove_orphan_files()  # grace-windowed crash-leftover scan (nothing here)
     gates["expiry_gc_ran"] = bool(expired) and bool(t.last_gc_files)
     gates["post_gc_readable"] = t.read(spark).count() == expected.count()
