@@ -214,6 +214,67 @@ def minhash_lsh_pairs(
     )
 
 
+# ---------------------------------------------------------------- components
+
+def duplicate_groups(pairs: DataFrame, a: str = "a", b: str = "b",
+                     max_rounds: int = 50) -> DataFrame:
+    """Connected components over near-dup pairs → (id, group_id) with
+    group_id = the component's minimum id — the dedup ENDGAME: pairwise
+    near-dup detection (Jaccard/LSH/SimHash/cosine) only yields edges; to
+    keep one representative per duplicate CLUSTER the transitive closure
+    must be grouped.
+
+    Shape: iterative min-label propagation — each round joins labels across
+    edges and takes the elementwise min (map-side combinable agg), so a
+    round is one shuffle; rounds needed = graph diameter, and near-dup
+    components are tiny dense cliques (diameter 1-2) — O(log n) only for
+    pathological chains. Deterministic at any parallelism; lineage truncated
+    per round (localCheckpoint) exactly like the BFS operators.
+    """
+    ed = pairs.select(F.col(a).alias("s"), F.col(b).alias("d"))
+    edges = (
+        ed.unionByName(ed.select(F.col("d").alias("s"), F.col("s").alias("d")))
+        .distinct()
+        .localCheckpoint(eager=True)
+    )
+    labels = (
+        edges.select(F.col("s").alias("id")).distinct()
+        .withColumn("group_id", F.col("id"))
+        .localCheckpoint(eager=True)
+    )
+    for _ in range(max_rounds):
+        neigh = edges.join(labels, edges["d"] == labels["id"]).select(
+            F.col("s").alias("id"), "group_id"
+        )
+        new_labels = (
+            labels.unionByName(neigh)
+            .groupBy("id")
+            .agg(F.min("group_id").alias("group_id"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.join(labels.withColumnRenamed("group_id", "_old"), "id")
+            .filter(F.col("group_id") != F.col("_old"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels
+    raise RuntimeError(f"duplicate_groups did not converge in {max_rounds} rounds")
+
+
+def dedup_fuzzy(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Keep one representative (the min-id member) per near-dup component;
+    docs in no pair survive untouched. Compose with any pair producer:
+    ngram_jaccard_pairs, minhash_lsh_pairs, simhash_near_pairs,
+    ann.cosine_near_pairs."""
+    groups = duplicate_groups(pairs)
+    losers = groups.filter(F.col("id") != F.col("group_id")).select(
+        F.col("id").alias(id_col)
+    )
+    return docs.join(losers, id_col, "left_anti")
+
+
 # ---------------------------------------------------------------- simhash
 
 def simhash64(docs: DataFrame, text_col: str = "text") -> DataFrame:

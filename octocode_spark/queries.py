@@ -1683,6 +1683,87 @@ def q52(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "q53_duplicate_groups",
+    """
+    WITH RECURSIVE words AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 2, 1)),
+                   i -> array_to_string(ws[i:i+2], ' ')))) AS shingle
+        FROM words),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM grams GROUP BY doc_id),
+    inter AS (
+        SELECT g1.doc_id AS a, g2.doc_id AS b, COUNT(*) AS i
+        FROM grams g1 JOIN grams g2 ON g1.shingle = g2.shingle AND g1.doc_id < g2.doc_id
+        GROUP BY g1.doc_id, g2.doc_id),
+    pairs AS (
+        SELECT a, b FROM inter
+        JOIN sizes sa ON sa.doc_id = a JOIN sizes sb ON sb.doc_id = b
+        WHERE i * 1.0 / (sa.sz + sb.sz - i) >= 0.3),
+    edges AS (SELECT a AS s, b AS d FROM pairs UNION SELECT b, a FROM pairs),
+    nodes AS (SELECT DISTINCT s AS id FROM edges),
+    reach(id, r) AS (
+        SELECT id, id FROM nodes
+        UNION
+        SELECT x.id, e.d FROM reach x JOIN edges e ON e.s = x.r)
+    SELECT id AS doc_id, MIN(r) AS group_id
+    FROM reach GROUP BY id ORDER BY doc_id
+    """,
+)
+def q53(spark: SparkSession, sf: str) -> DataFrame:
+    """Near-dup CLUSTERS, not just pairs: connected components over the
+    exact-Jaccard near-dup graph, group_id = component min (the dedup
+    endgame — keep one representative per transitive-duplicate cluster).
+    Oracle = a recursive reachability CTE computing the same component
+    minima."""
+    from octocode_spark.operators.dedup import duplicate_groups, ngram_jaccard_pairs
+
+    d = _t(spark, sf, "documents")
+    pairs = ngram_jaccard_pairs(d, threshold=0.3, hash_shingles=True)
+    return (
+        duplicate_groups(pairs)
+        .select(F.col("id").alias("doc_id"), F.col("group_id"))
+        .orderBy("doc_id")
+    )
+
+
+_PACK_CAP = 2048
+
+@_q(
+    "q54_sequence_packing",
+    f"""
+    WITH RECURSIVE w AS (
+        SELECT doc_id, source,
+               len(regexp_extract_all(lower(text), '[a-z0-9]+')) AS n_tok
+        FROM documents),
+    r AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY source ORDER BY doc_id) AS rn FROM w),
+    packed(source, rn, doc_id, n_tok, acc, pack) AS (
+        SELECT source, rn, doc_id, n_tok, n_tok, 0 FROM r WHERE rn = 1
+        UNION ALL
+        SELECT r.source, r.rn, r.doc_id, r.n_tok,
+               CASE WHEN p.acc + r.n_tok > {_PACK_CAP} THEN r.n_tok ELSE p.acc + r.n_tok END,
+               CASE WHEN p.acc + r.n_tok > {_PACK_CAP} THEN p.pack + 1 ELSE p.pack END
+        FROM packed p JOIN r ON r.source = p.source AND r.rn = p.rn + 1)
+    SELECT source AS stream, doc_id, CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(pack AS BIGINT) AS pack_id
+    FROM packed ORDER BY stream, doc_id
+    """,
+)
+def q54(spark: SparkSession, sf: str) -> DataFrame:
+    """Training-sequence packing: greedy first-fit of documents into
+    {_PACK_CAP}-token packs per source stream, deterministic doc_id order
+    (operators/packing.py, applyInPandas per stream). The oracle replays the
+    identical greedy rule as a linear recursive CTE."""
+    from octocode_spark.operators.packing import pack_greedy
+
+    d = _t(spark, sf, "documents")
+    return pack_greedy(d, cap=_PACK_CAP).orderBy("stream", "doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

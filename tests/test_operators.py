@@ -542,3 +542,52 @@ def test_adjacency_cache_matches_direct_traversals(spark):
         assert st["adj_rows"] == 16  # 8 edges, both directions, all distinct
     finally:
         cache.unpersist()
+
+
+def test_duplicate_groups_and_fuzzy_dedup(spark):
+    """Connected components over near-dup pairs: a transitive chain merges
+    into ONE group labeled by its min id (propagation distance > 1), and
+    dedup_fuzzy keeps exactly one representative per component."""
+    from octocode_spark.operators.dedup import dedup_fuzzy, duplicate_groups
+
+    # chain 1-2, 2-3, 3-4 (diameter 3) + island pair 7-9 + untouched 5
+    pairs = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (7, 9)], "a: long, b: long"
+    )
+    groups = {r["id"]: r["group_id"] for r in duplicate_groups(pairs).collect()}
+    assert groups == {1: 1, 2: 1, 3: 1, 4: 1, 7: 7, 9: 7}
+
+    docs = spark.createDataFrame(
+        [(i, f"text {i}") for i in (1, 2, 3, 4, 5, 7, 9)], "doc_id: long, text: string"
+    )
+    kept = {r["doc_id"] for r in dedup_fuzzy(docs, pairs).collect()}
+    assert kept == {1, 5, 7}
+
+
+def test_pack_greedy_semantics_and_shards(spark):
+    """Greedy first-fit packing: exact pack assignment on known weights,
+    oversized docs get their own pack, and sharded mode keeps pack ids
+    unique per stream while preserving in-shard greedy order."""
+    from octocode_spark.operators.packing import pack_greedy, pack_stats
+
+    # weights: a/1→3, a/2→4 (3+4>6: new pack), a/3→9 (>cap: own pack),
+    # a/4→2, a/5→2 (2+2<=6: together), b/6→5
+    rows = [
+        (1, "x " * 3, "a"), (2, "x " * 4, "a"), (3, "x " * 9, "a"),
+        (4, "x " * 2, "a"), (5, "x " * 2, "a"), (6, "x " * 5, "b"),
+    ]
+    docs = spark.createDataFrame(rows, "doc_id: long, text: string, source: string")
+    out = {r["doc_id"]: r for r in pack_greedy(docs, cap=6).collect()}
+    assert [out[i]["pack_id"] for i in (1, 2, 3, 4, 5)] == [0, 1, 2, 3, 3]
+    assert out[6]["pack_id"] == 0 and out[6]["stream"] == "b"
+    stats = {r["stream"]: r for r in pack_stats(pack_greedy(docs, cap=6), cap=6).collect()}
+    assert stats["a"]["n_packs"] == 4 and stats["a"]["total_tok"] == 20
+
+    sharded = pack_greedy(docs, cap=6, shards=3).collect()
+    by_stream_pack = {}
+    for r in sharded:
+        by_stream_pack.setdefault((r["stream"], r["pack_id"]), []).append(r["doc_id"])
+    # no pack exceeds cap even across shard-qualified ids
+    for (stream, _pid), members in by_stream_pack.items():
+        tot = sum(next(x["n_tok"] for x in sharded if x["doc_id"] == m) for m in members)
+        assert tot <= 6 or len(members) == 1
