@@ -455,13 +455,16 @@ def q14(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q15(spark: SparkSession, sf: str) -> DataFrame:
-    """Exact dedup: surviving representative count == distinct fingerprints."""
-    from octocode_spark.operators.dedup import dedup_exact
+    """Exact dedup accounting: distinct fingerprints == surviving
+    representatives (dedup_exact's invariant, pinned by pytest) — computed
+    as ONE aggregate over one fingerprint scan, not two separate actions."""
+    from octocode_spark.operators.text import fingerprint
 
     d = _t(spark, sf, "documents")
-    kept = dedup_exact(d).count()
-    total = d.count()
-    return spark.createDataFrame([(kept, total)], "n_unique_docs: bigint, n_docs: bigint")
+    return d.select(fingerprint(F.col("text")).alias("fp")).agg(
+        F.countDistinct("fp").alias("n_unique_docs"),
+        F.count(F.lit(1)).alias("n_docs"),
+    )
 
 
 @_q(
