@@ -83,27 +83,55 @@ def term_stats_delta(
     return term_df.unionByName(corpus)
 
 
+def _apply_term_delta(
+    spark: SparkSession,
+    stats: LakeTable,
+    docs: DataFrame,
+    text_col: str,
+    sign: int,
+) -> None:
+    """Fold a ± batch delta into the stats table.
+
+    MERGE replaces matched rows wholesale, so the source carries the SUMMED
+    df: delta left-joined against current values of exactly the touched
+    terms. The join's left side is the batch vocabulary (small); the stats
+    table side is file-pruned by merge_into on the same keys. Negative
+    folds (document deletion) mark rows reaching df ≤ 0 with the MERGE
+    delete flag, so vanished terms leave the index entirely."""
+    from octocode_spark.lakehouse.merge import merge_into
+
+    delta = term_stats_delta(docs, text_col)
+    current = stats.read(spark).withColumnRenamed("df", "_old")
+    summed = delta.join(current, "term", "left").select(
+        "term",
+        (F.coalesce(F.col("_old"), F.lit(0)) + F.lit(sign) * F.col("df")).alias("df"),
+    )
+    if sign < 0:
+        summed = summed.withColumn("deleted", F.col("df") <= 0)
+    merge_into(spark, stats, summed, key="term")
+
+
 def ingest_term_stats(
     spark: SparkSession,
     stats: LakeTable,
     new_docs: DataFrame,
     text_col: str = "text",
 ) -> None:
-    """Fold one ingested batch into the stats table (additive upsert).
+    """Fold one ingested batch into the stats table (additive upsert)."""
+    _apply_term_delta(spark, stats, new_docs, text_col, +1)
 
-    MERGE replaces matched rows wholesale, so the source carries the SUMMED
-    df: delta left-joined against current values of exactly the touched
-    terms. The join's left side is the batch vocabulary (small); the stats
-    table side is file-pruned by merge_into on the same keys."""
-    from octocode_spark.lakehouse.merge import merge_into
 
-    delta = term_stats_delta(new_docs, text_col)
-    current = stats.read(spark).withColumnRenamed("df", "_old")
-    summed = (
-        delta.join(current, "term", "left")
-        .select("term", (F.coalesce(F.col("_old"), F.lit(0)) + F.col("df")).alias("df"))
-    )
-    merge_into(spark, stats, summed, key="term")
+def remove_term_stats(
+    spark: SparkSession,
+    stats: LakeTable,
+    removed_docs: DataFrame,
+    text_col: str = "text",
+) -> None:
+    """Subtract a deleted batch from the stats table — the other half of
+    ingest maintenance: after remove(ingest(B)) the index is exactly the
+    pre-B index (terms whose df hits 0 are deleted via the MERGE delete
+    arm). Pass the SAME rows that were deleted from the corpus."""
+    _apply_term_delta(spark, stats, removed_docs, text_col, -1)
 
 
 def read_query_stats(

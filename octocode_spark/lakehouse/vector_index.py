@@ -20,6 +20,7 @@ from __future__ import annotations
 import json
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from octocode_spark.lakehouse.table import DataFile, LakeTable
@@ -52,6 +53,41 @@ def load_ivf_index(root: str) -> LakeTable:
     if "ivf.centroids" not in t.meta.properties:
         raise ValueError(f"{root} is not a persisted IVF index (no ivf.centroids)")
     return t
+
+
+def ivf_append(table: LakeTable, new_vectors: DataFrame):
+    """Incremental index maintenance: assign NEW vectors to the EXISTING
+    centroids and append them to the cell-partitioned table — no re-train
+    (the reference extends its index at ingest and rebuilds only on >50%
+    drift, src/store/vector_optimizer.rs:226-258; `needs_recluster` is the
+    drift gate here too).
+
+    Assignment is a pure JVM expression: per-centroid squared L2 distance
+    via zip_with against the centroid literals (normalized first when the
+    index is spherical), cell = position of the array minimum — no Python,
+    no ML model object needed on the executors. Returns the commit
+    Snapshot."""
+    props = table.meta.properties
+    centroids = json.loads(props["ivf.centroids"])
+    id_col, vec_col = props["ivf.id_col"], props["ivf.vec_col"]
+    normalized = props.get("ivf.normalized") == "true"
+    v = F.col(vec_col).cast("array<double>")
+    if normalized:
+        nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        v = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+    dists = F.array(*[
+        F.aggregate(
+            F.zip_with(v, F.array(*[F.lit(float(c)) for c in cen]), lambda x, c: (x - c) * (x - c)),
+            F.lit(0.0),
+            lambda a, d: a + d,
+        )
+        for cen in centroids
+    ])
+    assigned = new_vectors.select(
+        F.col(id_col), F.col(vec_col),
+        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("_cell"),
+    )
+    return table.append(assigned)
 
 
 def probe_files(table: LakeTable, cells: list[int]) -> list[DataFile]:

@@ -81,3 +81,23 @@ def test_empty_index_raises(spark, docs, tmp_path):
     t = create_term_stats(str(tmp_path / "empty"))
     with pytest.raises(ValueError, match="no corpus rows"):
         bm25_scores_indexed(spark, docs, t, TERMS)
+
+
+def test_remove_term_stats_inverts_ingest(spark, docs, tmp_path):
+    """remove(ingest(B)) must restore the exact pre-B index: df values equal,
+    and terms unique to B leave the table entirely (MERGE delete arm)."""
+    from octocode_spark.lakehouse.fts import remove_term_stats
+
+    a = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 0)
+    b = docs.filter(F.pmod(F.xxhash64("doc_id"), F.lit(2)) == 1)
+    t = create_term_stats(str(tmp_path / "terms_rm"))
+    ingest_term_stats(spark, t, a)
+    before = {r["term"]: r["df"] for r in t.read(spark).collect()}
+    ingest_term_stats(spark, t, b)
+    remove_term_stats(spark, t, b)
+    after = {r["term"]: r["df"] for r in t.read(spark).collect()}
+    assert after == before
+    # and scoring over corpus A matches a fresh 2-scan computation
+    got = {r["id"]: r["bm25"] for r in bm25_scores_indexed(spark, a, t, TERMS).collect()}
+    want = {r["id"]: r["bm25"] for r in bm25_scores(a, TERMS).collect()}
+    assert got == want

@@ -95,3 +95,39 @@ def test_load_rejects_non_index_table(spark, tmp_path, clustered):
     plain.append(vecs)
     with pytest.raises(ValueError, match="not a persisted IVF index"):
         load_ivf_index(str(tmp_path / "plain"))
+
+
+def test_ivf_append_assigns_to_existing_centroids(spark, clustered, tmp_path):
+    """Incremental append: new vectors join the persisted index via a pure
+    JVM centroid-assignment expression; each lands in the numpy-argmin cell
+    and becomes findable by the persisted search path."""
+    import json
+
+    vecs, base = clustered
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "ivf_app"))
+    pre_rows = sum(f.records for f in t.files())
+
+    from octocode_spark.lakehouse.vector_index import ivf_append
+
+    rng = np.random.RandomState(99)
+    newbies = [
+        (1000 + c, [float(x) for x in base[c] + rng.randn(16) * 0.05])
+        for c in range(N_CLUSTERS)
+    ]
+    new_df = spark.createDataFrame(newbies, "vec_id: long, embedding: array<double>")
+    ivf_append(t, new_df)
+    t.refresh()
+    assert sum(f.records for f in t.files()) == pre_rows + N_CLUSTERS
+
+    # each appended vector sits in its numpy-argmin cell
+    cents = [np.asarray(c) for c in json.loads(t.meta.properties["ivf.centroids"])]
+    rows = {r["vec_id"]: r["_cell"] for r in t.read(spark).filter("vec_id >= 1000").collect()}
+    for vid, v in newbies:
+        q = np.asarray(v)
+        q = q / np.linalg.norm(q)  # spherical index
+        want = int(np.argmin([np.linalg.norm(c - q) for c in cents]))
+        assert rows[vid] == want
+    # and the persisted search path can find an appended vector
+    got = ivf_search_persisted(spark, t, newbies[0][1], k=1, n_probe=1).collect()
+    assert got[0]["vec_id"] == 1000
