@@ -188,6 +188,7 @@ def _one_rewrite(spark, input_root: str, tag: str, cluster_by: str | None):
 
 
 MAINT_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
+STALL_FACTOR = 2.0  # see _valid_rounds in maintenance_interleaved
 
 
 def _round_cpu_ratio(small: int, big: int) -> float:
@@ -213,13 +214,16 @@ def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 3,
     sequential N-then-4N schedule can hand either level a bad window and
     corrupt the ratio). One warmup rewrite per fresh JVM.
 
-    STATISTIC: the N→4N speedup is the MEDIAN of per-round ratios, each
-    ratio taken from the two ADJACENT same-window runs of one round, and
-    each round also samples the host's own cpu-scaling ceiling in that same
-    window. Independent per-level minima (the round-2 statistic) can pair a
-    clean small-level window with a contended big-level one and under-report
-    scaling by 2×; window-paired ratios are the only meaningful unit on this
-    host. Per-level minima are still reported for absolute throughput.
+    STATISTIC: the N→4N speedup is the MEDIAN of per-round ratios over
+    STALL-FREE rounds — each ratio taken from the two ADJACENT same-window
+    runs of one round, each round also sampling the host's own cpu-scaling
+    ceiling in that same window, and a round discarded (symmetrically, see
+    _valid_rounds) when either of its runs took > STALL_FACTOR× that
+    level's cross-round minimum. Independent per-level minima (the round-2
+    statistic) can pair a clean small-level window with a contended
+    big-level one and under-report scaling by 2×; window-paired ratios are
+    the only meaningful unit on this host. Per-level minima are still
+    reported for absolute throughput.
 
     If the planned rounds all landed in windows where even the HOST ceiling
     collapsed (cpu ratio < 1.5 at 4× procs), up to ``max_extra_rounds`` more
@@ -258,16 +262,30 @@ def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 3,
         one_round(rnd)
         if rnd + 1 < rounds and time.monotonic() - t_phase > MAINT_BUDGET_S:
             break
+    def _valid_rounds() -> list[dict]:
+        """Symmetric stall filter: a sample running > STALL_FACTOR × its own
+        level's cross-round minimum was stalled by the co-tenant (observed:
+        27× on one 32-core run minutes after a 12s one). Stalls DEFLATE the
+        ratio when they hit the big level and INFLATE it when they hit the
+        small level — the rule drops both directions, so it cannot
+        cherry-pick. Kept samples are whole window-paired rounds."""
+        lo_s = min(r[f"s{small}"] for r in per_round)
+        lo_b = min(r[f"s{big}"] for r in per_round)
+        return [
+            r for r in per_round
+            if r[f"s{small}"] <= STALL_FACTOR * lo_s and r[f"s{big}"] <= STALL_FACTOR * lo_b
+        ]
+
     extra = 0
     while (
         extra < max_extra_rounds
         and time.monotonic() - t_phase < MAINT_BUDGET_S
         and (
             max(r["cpu_ratio"] for r in per_round) < 1.5  # every window was dead
-            # 4× cores running SLOWER is definitionally a co-tenant artifact
-            # (software can't anti-scale a fixed job); give the median one
-            # more sample — bounded persistence, medians stay the statistic
-            or min(r["speedup"] for r in per_round) < 1.0
+            # fewer than 2 stall-free window pairs → the median rests on one
+            # sample; buy another round — bounded persistence, the filter
+            # and medians stay the statistic
+            or len(_valid_rounds()) < 2
         )
     ):
         one_round(len(per_round))
@@ -275,12 +293,15 @@ def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 3,
 
     import statistics
 
+    valid = _valid_rounds() or per_round
     rounds_stats = {
         "per_round": per_round,
-        "speedup_median_of_rounds": round(statistics.median(r["speedup"] for r in per_round), 3),
-        "cpu_ratio_median_of_rounds": round(statistics.median(r["cpu_ratio"] for r in per_round), 3),
+        "rounds_stalled": len(per_round) - len(valid),
+        "stall_factor": STALL_FACTOR,
+        "speedup_median_of_rounds": round(statistics.median(r["speedup"] for r in valid), 3),
+        "cpu_ratio_median_of_rounds": round(statistics.median(r["cpu_ratio"] for r in valid), 3),
         "vs_cpu_ceiling_median_of_rounds": round(
-            statistics.median(r["vs_cpu_ceiling"] for r in per_round), 3
+            statistics.median(r["vs_cpu_ceiling"] for r in valid), 3
         ),
     }
     out: dict[int, dict] = {}
