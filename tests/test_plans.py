@@ -131,3 +131,27 @@ def test_global_rewrite_plan_scans_fat_table_once(spark, tmp_table_dir):
     assert "rangepartitioning" not in plan_str.lower()
     assert "hashpartitioning" in plan_str.lower()  # the single route exchange
     assert "EvalPython" not in plan_str  # zorder key stays JVM-side
+
+
+def test_q51_indexed_bm25_single_scan_no_aggregate(spark, qs):
+    """Index-backed BM25 must not recompute corpus stats: exactly one
+    parquet scan, no aggregate/broadcast anywhere in the plan."""
+    plan = formatted_plan(qs["q51_bm25_indexed"](spark, SF))
+    tree = plan.split("\n\n")[0]  # formatted explain repeats nodes in details
+    assert tree.count("Scan parquet") == 1
+    assert "HashAggregate" not in plan and "BroadcastExchange" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q44_offset_pagination_no_global_window(spark, qs):
+    """Offset pagination rides TakeOrderedAndProject(offset=...); the only
+    Window sits ABOVE it, over the <= page_size slice."""
+    import re
+
+    plan = formatted_plan(qs["q44_relationships_by_type"](spark, SF))
+    # formatted explain renders the offset as the trailing argument:
+    # TakeOrderedAndProject Arguments: <limit 40>, [order], [output], <offset 20>
+    assert re.search(r"TakeOrderedAndProject\nInput.*\nArguments: 40, .*\], 20\n", plan)
+    body = plan.split("\n\n")[0]  # the tree section
+    assert body.index("Window") < body.index("TakeOrderedAndProject")
+    assert body.count("Window") == 1
