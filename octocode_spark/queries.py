@@ -499,12 +499,19 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 
     max_shingle_df=50 is the scale-safe shape: the shingle self-join is
     O(Σ df²), so one stopword trigram at corpus scale is a quadratic blow-up
-    without the frequency cut. The oracle applies the identical cut."""
+    without the frequency cut. The oracle applies the identical cut.
+
+    hash_shingles=True is the scale shape too: the wide self-join shuffles
+    8-byte xxhash64 keys instead of raw trigram strings (~10× narrower).
+    The OUTPUT exposes only (a, b, jaccard) — sizes and intersections are
+    hash-invariant — so the raw-string DuckDB oracle still matches exactly
+    (a cross-engine mismatch would need an xxhash64 collision between two
+    shingles of one document: p ≈ n²/2⁶⁴)."""
     from octocode_spark.operators.dedup import ngram_jaccard_pairs
 
     d = _t(spark, sf, "documents")
     return (
-        ngram_jaccard_pairs(d, n=3, threshold=0.05, max_shingle_df=50, hash_shingles=False)
+        ngram_jaccard_pairs(d, n=3, threshold=0.05, max_shingle_df=50, hash_shingles=True)
         .orderBy("a", "b")
     )
 
