@@ -95,13 +95,32 @@ def _apply_term_delta(
     MERGE replaces matched rows wholesale, so the source carries the SUMMED
     df: delta left-joined against current values of exactly the touched
     terms. The join's left side is the batch vocabulary (small); the stats
-    table side is file-pruned by merge_into on the same keys. Negative
-    folds (document deletion) mark rows reaching df ≤ 0 with the MERGE
-    delete flag, so vanished terms leave the index entirely."""
+    table side is read through a manifest [min,max]-term range prune (for a
+    topically-narrow batch only overlapping files are opened; a term-
+    bucketed layout would tighten it further) and file-pruned again by
+    merge_into on the same keys. Negative folds (document deletion) mark
+    rows reaching df ≤ 0 with the MERGE delete flag, so vanished terms
+    leave the index entirely.
+
+    CONCURRENCY: single-writer per index, like any maintenance job. The
+    MERGE commit is CAS-protected against lost updates of REPLACED files,
+    but two simultaneous bootstrap ingests into an empty table both take
+    the insert-only path and both land — creating duplicate rows. That
+    corruption is detected loudly here after every fold (a reserved-row
+    duplicate count, one tiny stat-pruned read)."""
     from octocode_spark.lakehouse.merge import merge_into
 
     delta = term_stats_delta(docs, text_col)
-    current = stats.read(spark).withColumnRenamed("df", "_old")
+    # manifest range prune: files whose [min,max] term range can't touch the
+    # batch's vocabulary range contribute no _old values
+    bounds = delta.agg(F.min("term"), F.max("term")).first()
+    lo, hi = bounds[0], bounds[1]
+
+    def _overlaps(f):
+        rng = f.stats.get("term")
+        return not rng or (rng[0] <= hi and lo <= rng[1])
+
+    current = stats.read(spark, stat_filter=_overlaps).withColumnRenamed("df", "_old")
     summed = delta.join(current, "term", "left").select(
         "term",
         (F.coalesce(F.col("_old"), F.lit(0)) + F.lit(sign) * F.col("df")).alias("df"),
@@ -109,6 +128,21 @@ def _apply_term_delta(
     if sign < 0:
         summed = summed.withColumn("deleted", F.col("df") <= 0)
     merge_into(spark, stats, summed, key="term")
+    n_docs_rows = (
+        stats.refresh().read(spark, stat_filter=lambda f: _stat_contains(f, N_DOCS_KEY))
+        .filter(F.col("term") == N_DOCS_KEY)
+        .count()
+    )
+    if n_docs_rows > 1:
+        raise RuntimeError(
+            f"term-stats index corrupted: {n_docs_rows} '{N_DOCS_KEY}' rows "
+            "(concurrent bootstrap ingests?) — rebuild the index"
+        )
+
+
+def _stat_contains(f, key: str) -> bool:
+    rng = f.stats.get("term")
+    return not rng or (rng[0] <= key <= rng[1])
 
 
 def ingest_term_stats(

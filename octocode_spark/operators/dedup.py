@@ -224,12 +224,14 @@ def duplicate_groups(pairs: DataFrame, a: str = "a", b: str = "b",
     keep one representative per duplicate CLUSTER the transitive closure
     must be grouped.
 
-    Shape: iterative min-label propagation — each round joins labels across
-    edges and takes the elementwise min (map-side combinable agg), so a
-    round is one shuffle; rounds needed = graph diameter, and near-dup
-    components are tiny dense cliques (diameter 1-2) — O(log n) only for
-    pathological chains. Deterministic at any parallelism; lineage truncated
-    per round (localCheckpoint) exactly like the BFS operators.
+    Shape: min-label propagation WITH pointer jumping — each round (a) pulls
+    the min label across edges, then (b) shortcuts every node to its
+    label's label (label composition). Edge propagation alone moves labels
+    one hop per round (O(diameter) rounds — a 60-link near-dup chain would
+    need 60); the jump step doubles the reach each round, so convergence is
+    O(log diameter) even for pathological chains. Two joins + two map-side-
+    combinable min aggs per round. Deterministic at any parallelism;
+    lineage truncated per round (localCheckpoint) like the BFS operators.
     """
     ed = pairs.select(F.col(a).alias("s"), F.col(b).alias("d"))
     edges = (
@@ -246,10 +248,29 @@ def duplicate_groups(pairs: DataFrame, a: str = "a", b: str = "b",
         neigh = edges.join(labels, edges["d"] == labels["id"]).select(
             F.col("s").alias("id"), "group_id"
         )
-        new_labels = (
+        # materialize BEFORE the self-join: both jump sides read the same
+        # checkpointed frame (no self-join attribute ambiguity, and the
+        # union+agg runs once, not twice)
+        pulled = (
             labels.unionByName(neigh)
             .groupBy("id")
             .agg(F.min("group_id").alias("group_id"))
+            .localCheckpoint(eager=True)
+        )
+        # pointer jumping: follow my label to ITS label (min of both) —
+        # doubles propagation distance, turning O(diameter) into O(log)
+        of_label = pulled.select(
+            F.col("id").alias("_lid"), F.col("group_id").alias("_lgrp")
+        )
+        new_labels = (
+            pulled.join(of_label, pulled["group_id"] == of_label["_lid"], "left")
+            .select(
+                pulled["id"].alias("id"),
+                F.least(
+                    pulled["group_id"],
+                    F.coalesce(F.col("_lgrp"), pulled["group_id"]),
+                ).alias("group_id"),
+            )
             .localCheckpoint(eager=True)
         )
         changed = (

@@ -72,7 +72,8 @@ def relationships_by_type_keyset(
     The scale shape: the cursor is a plain pushdown-able predicate and the
     sort+limit compiles to TakeOrderedAndProject — per-partition partial
     top-k merged on the driver. No global row_number window, so a type-only
-    query never funnels every matching edge through one reducer."""
+    query never funnels every matching edge through one reducer. ALL edge
+    columns pass through (weight/confidence/etc. stay on the page)."""
     out = _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
     if after is not None:
         a_src, a_dst, a_type = after
@@ -81,8 +82,7 @@ def relationships_by_type_keyset(
             > F.struct(F.lit(a_src), F.lit(a_dst), F.lit(a_type))
         )
     return (
-        out.select(src, dst, type_col)
-        .orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
+        out.orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
         .limit(page_size)
     )
 
@@ -108,13 +108,13 @@ def relationships_by_type(
     limit (TakeOrderedAndProject with offset — per-partition partial
     top-(offset+size), never a global row_number over all matching edges).
     The `rn` column is recomputed over the returned slice only, which is
-    ≤ page_size rows — bounded, so its single-partition window is fine."""
+    ≤ page_size rows — bounded, so its single-partition window is fine.
+    ALL edge columns pass through, plus rn."""
     from pyspark.sql import Window
 
     lo = page * page_size
     sliced = (
         _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
-        .select(src, dst, type_col)
         .orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
         .offset(lo)
         .limit(page_size)

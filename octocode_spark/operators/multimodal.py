@@ -211,33 +211,51 @@ def _stub_features(raw: bytes, kind: str) -> np.ndarray:
     return np.frombuffer(digest[: FEATURE_DIM * 2], dtype=np.uint16).astype(np.float64) / 65535.0
 
 
-def _decode_batch(payloads: pd.Series, kinds: pd.Series, decode_stub: bool) -> np.ndarray:
+def _decode_batch(
+    payloads: pd.Series, kinds: pd.Series, decode_stub: bool,
+    on_undecodable: str = "raise",
+) -> np.ndarray:
     """Per-Arrow-batch decode. Real numpy decoders for image (PPM) and
     audio (WAV PCM-16); video falls back to the disclosed stub (no ffmpeg
-    in scope). decode_stub=True forces the stub for every kind."""
+    in scope). decode_stub=True forces the stub for every kind.
+
+    ``on_undecodable``: "raise" (default — garbage in a decode pipeline
+    should fail loudly, not silently become sha features) or "stub" (mixed
+    corpora with codecs outside PPM/WAV-PCM16 keep flowing, undecodable
+    rows get the deterministic stub features)."""
     out = np.empty((len(payloads), FEATURE_DIM), dtype=np.float32)
     for i, (raw, kind) in enumerate(zip(payloads, kinds)):  # bounded by Arrow batch
         raw = bytes(raw)
         if decode_stub or kind == "video":
             out[i] = _stub_features(raw, kind)
-        elif kind == "image":
-            out[i] = _image_features(decode_ppm(raw))
-        elif kind == "audio":
-            out[i] = _audio_features(*decode_wav_pcm16(raw))
-        else:
-            raise ValueError(f"unknown media kind: {kind!r}")
+            continue
+        try:
+            if kind == "image":
+                out[i] = _image_features(decode_ppm(raw))
+            elif kind == "audio":
+                out[i] = _audio_features(*decode_wav_pcm16(raw))
+            else:
+                raise ValueError(f"unknown media kind: {kind!r}")
+        except ValueError:
+            if on_undecodable != "stub":
+                raise
+            out[i] = _stub_features(raw, kind)
     return out
 
 
-def extract_features(media: DataFrame, decode_stub: bool = False) -> DataFrame:
+def extract_features(
+    media: DataFrame, decode_stub: bool = False, on_undecodable: str = "raise"
+) -> DataFrame:
     """mapInPandas feature extraction: Arrow batches in, Arrow batches out.
-    Default decodes image/audio payloads for REAL (PPM/WAV numpy parsers);
-    video uses the disclosed stub. Repartition upstream by media_id for even
-    decode load (payload sizes can skew exactly like hot `source` keys)."""
+    Default decodes image/audio payloads for REAL (PPM/WAV numpy parsers)
+    and fails loudly on unsupported codecs (on_undecodable="stub" opts
+    mixed corpora into per-row stub fallback); video uses the disclosed
+    stub. Repartition upstream by media_id for even decode load (payload
+    sizes can skew exactly like hot `source` keys)."""
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            feats = _decode_batch(pdf["payload"], pdf["kind"], decode_stub)
+            feats = _decode_batch(pdf["payload"], pdf["kind"], decode_stub, on_undecodable)
             yield pd.DataFrame({
                 "media_id": pdf["media_id"],
                 "kind": pdf["kind"],

@@ -26,9 +26,12 @@ from pyspark.sql import types as T
 
 
 def token_weight(text: Column) -> Column:
-    """Token count used as the packing weight — the same [a-z0-9]+ tokenizer
-    as the BM25 doc length, so weights agree across operators and engines."""
-    return F.size(F.regexp_extract_all(F.lower(text), F.lit("[a-z0-9]+"), 0)).cast("long")
+    """Token count used as the packing weight — the SAME tokenizer constant
+    as the BM25 doc length (imported, not copy-pasted, so they cannot
+    drift), keeping weights consistent across operators and engines."""
+    from octocode_spark.operators.hybrid import TOKEN_PATTERN
+
+    return F.size(F.regexp_extract_all(F.lower(text), F.lit(TOKEN_PATTERN), 0)).cast("long")
 
 
 def pack_greedy(

@@ -26,9 +26,23 @@ STABLE_SCALE = 1e12
 
 
 def stable_rank_key(score: Column | str) -> Column:
-    """floor(score · 1e12) as BIGINT — the ulp-robust window-order key."""
+    """floor(score · 1e12) as BIGINT — the ulp-robust window-order key.
+
+    DOMAIN: |score| must stay below ~9.2·10⁶ or the scaled value exceeds
+    Long range — and Spark's floor(double)→long SATURATES silently there,
+    which would collapse every large score into one tie. Out-of-domain
+    scores raise loudly instead (similarity/BM25/RRF scores are all O(1)–
+    O(10²); for large integral scores pass quantize=False and rank on the
+    raw column). NaN maps to NULL so it orders deterministically last
+    rather than floor(NaN)→0 ranking it mid-pack."""
     c = F.col(score) if isinstance(score, str) else score
-    return F.floor(c * F.lit(STABLE_SCALE)).cast("long")
+    in_domain = F.abs(c) < F.lit(9.0e6)
+    key = F.floor(c * F.lit(STABLE_SCALE)).cast("long")
+    err = F.raise_error(
+        F.lit("stable_rank_key: |score| >= 9e6 would saturate the quantized "
+              "key; rank on the raw column (quantize=False) instead")
+    ).cast("long")
+    return F.when(F.isnan(c), F.lit(None).cast("long")).when(in_domain, key).otherwise(err)
 
 
 def rank_in_list(df: DataFrame, order_col: str, ascending: bool = True,

@@ -1609,7 +1609,14 @@ def _q30_oracle(num_planes: int = 4, dim: int = 64) -> str:
     the ±1 plane-sign vectors are deterministic functions of xxhash64 with
     literal seeds, so the pure-python JVM-twin (functions/xxh.py, equality
     pinned by tests) folds them into SQL literals and the bucket equi-join
-    becomes engine-portable — no xxhash64 needed inside DuckDB."""
+    becomes engine-portable — no xxhash64 needed inside DuckDB.
+
+    Residual cross-engine exposure: the sign threshold (dot >= 0) is an
+    unquantizable boundary — engines could disagree only for a projection
+    within float-summation-order error of exactly 0 (|dot| ≲ 1e-13 against
+    O(1)-magnitude projections; ~2·10⁻¹⁰ over this corpus's 2000
+    evaluations). No quantization removes a threshold's boundary — it only
+    moves it — so this is documented rather than masked."""
     from octocode_spark.functions.xxh import xxhash64_ints
 
     sig_terms = []

@@ -591,3 +591,68 @@ def test_pack_greedy_semantics_and_shards(spark):
     for (stream, _pid), members in by_stream_pack.items():
         tot = sum(next(x["n_tok"] for x in sharded if x["doc_id"] == m) for m in members)
         assert tot <= 6 or len(members) == 1
+
+
+def test_stable_rank_key_domain_and_nan(spark):
+    """Quantized rank keys must fail LOUDLY outside their domain instead of
+    letting floor(double)->long saturate into a silent all-tie collapse,
+    and NaN must become NULL (orders last) rather than floor(NaN)=0."""
+    import pytest
+
+    from octocode_spark.operators.rrf import stable_rank_key
+
+    ok = spark.createDataFrame([(1, 0.5), (2, float("nan"))], "id: long, s: double")
+    rows = {r["id"]: r["k"] for r in ok.select("id", stable_rank_key("s").alias("k")).collect()}
+    assert rows[1] == int(0.5e12) and rows[2] is None
+
+    big = spark.createDataFrame([(1, 2.0e7)], "id: long, s: double")
+    with pytest.raises(Exception, match="saturate"):
+        big.select(stable_rank_key("s").alias("k")).collect()
+
+
+def test_duplicate_groups_long_chain_converges(spark):
+    """Pointer jumping: a 120-link chain (diameter 120) must converge well
+    inside the round cap — label reach doubles per round."""
+    from octocode_spark.operators.dedup import duplicate_groups
+
+    pairs = spark.createDataFrame(
+        [(i, i + 1) for i in range(120)], "a: long, b: long"
+    )
+    groups = {r["id"]: r["group_id"] for r in duplicate_groups(pairs, max_rounds=12).collect()}
+    assert set(groups.values()) == {0} and len(groups) == 121
+
+
+def test_relationship_pages_keep_extra_edge_columns(spark):
+    """Pagination must pass through every edge column (weight etc.), like
+    the pre-keyset implementation did."""
+    from octocode_spark.operators.graph import (
+        relationships_by_type,
+        relationships_by_type_keyset,
+    )
+
+    edges = spark.createDataFrame(
+        [("a", "x", "knows", 0.9), ("b", "x", "knows", 0.7)],
+        "src: string, dst: string, rel_type: string, weight: double",
+    )
+    page = relationships_by_type(edges, rel_type="knows", page_size=10).collect()
+    assert {r["src"]: r["weight"] for r in page} == {"a": 0.9, "b": 0.7}
+    assert page[0]["rn"] == 1
+    ks = relationships_by_type_keyset(edges, rel_type="knows", page_size=10).collect()
+    assert {r["src"]: r["weight"] for r in ks} == {"a": 0.9, "b": 0.7}
+
+
+def test_multimodal_undecodable_fallback_modes(spark):
+    """Unsupported codecs fail loudly by default; on_undecodable='stub'
+    keeps mixed corpora flowing with deterministic stub features."""
+    import pytest
+
+    from octocode_spark.operators.multimodal import FEATURE_DIM, extract_features
+
+    jpeg_ish = spark.createDataFrame(
+        [("m-1", "image", bytearray(b"\xff\xd8\xff\xe0 not a ppm"), None)],
+        "media_id: string, kind: string, payload: binary, meta: struct<width:int>",
+    )
+    with pytest.raises(Exception, match="not a binary PPM"):
+        extract_features(jpeg_ish).collect()
+    out = extract_features(jpeg_ish, on_undecodable="stub").collect()
+    assert len(out) == 1 and len(out[0]["features"]) == FEATURE_DIM
