@@ -101,3 +101,18 @@ def test_remove_term_stats_inverts_ingest(spark, docs, tmp_path):
     got = {r["id"]: r["bm25"] for r in bm25_scores_indexed(spark, a, t, TERMS).collect()}
     want = {r["id"]: r["bm25"] for r in bm25_scores(a, TERMS).collect()}
     assert got == want
+
+
+def test_duplicate_reserved_rows_detected(spark, docs, tmp_path):
+    """The concurrent-bootstrap corruption (two insert-only ingests both
+    landing) must be detected loudly by the next fold, not silently served."""
+    from octocode_spark.lakehouse.fts import N_DOCS_KEY
+
+    t = create_term_stats(str(tmp_path / "terms_dup"))
+    ingest_term_stats(spark, t, docs.limit(5))
+    # simulate the second bootstrap writer: raw append of a duplicate
+    # reserved row behind the MERGE's back
+    dup = spark.createDataFrame([(N_DOCS_KEY, 5)], "term: string, df: long")
+    t.append(dup)
+    with pytest.raises(RuntimeError, match="corrupted"):
+        ingest_term_stats(spark, t, docs.limit(3))
