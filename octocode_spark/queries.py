@@ -1501,16 +1501,28 @@ def q39(spark: SparkSession, sf: str) -> DataFrame:
 
 @_q("q40_ivf_ann_topk")  # no oracle: k-means index layout isn't SQL-expressible
 def q40(spark: SparkSession, sf: str) -> DataFrame:
-    """IVF ANN over the embeddings — the scale path beside q17's exact
-    baseline. Build/search split: the coarse quantizer is trained ONCE
-    (index build), the query path only ranks centroids in numpy and probes
-    2 cells — no KMeans.fit per query."""
-    from octocode_spark.operators.ann import build_ivf_index, ivf_search
+    """IVF ANN over the embeddings through the FULL index lifecycle: build
+    (spherical k-means, once) → persist as a `_cell`-partitioned LakeTable →
+    load in a fresh handle → search with manifest-level cell pruning (only
+    the n_probe probed cells' files are planned). No KMeans.fit and no
+    full-corpus scan in the query path."""
+    import tempfile
+
+    from octocode_spark.lakehouse.vector_index import (
+        ivf_search_persisted,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+    from octocode_spark.operators.ann import build_ivf_index
 
     e = _t(spark, sf, "embeddings")
     qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
     index = build_ivf_index(e, n_clusters=8, cache=False)
-    return ivf_search(index, qv, k=10, n_probe=2)
+    root = tempfile.mkdtemp(prefix="q40_ivf_") + "/ivf"
+    persist_ivf_index(index, root)
+    # the scan must outlive this call (the driver collects lazily), so the
+    # temp index table is left for the OS tempdir cleanup
+    return ivf_search_persisted(spark, load_ivf_index(root), qv, k=10, n_probe=2)
 
 
 @_q("q25_cluster_keys")  # no oracle: xxhash64 + pandas UDF not in DuckDB
@@ -1779,6 +1791,28 @@ def q54(spark: SparkSession, sf: str) -> DataFrame:
 
     d = _t(spark, sf, "documents")
     return pack_greedy(d, cap=_PACK_CAP).orderBy("stream", "doc_id")
+
+
+@_q("q55_graph_khop_cached", _ORACLES["q31_graph_khop"])
+def q55(spark: SparkSession, sf: str) -> DataFrame:
+    """q31's k-hop traversal THROUGH the materialized AdjacencyCache —
+    same oracle verbatim, pinning in the driver gate that the cached,
+    co-partitioned adjacency path answers identically to the direct one."""
+    from octocode_spark.operators.graph import AdjacencyCache
+
+    c = _t(spark, sf, "customer")
+    n = _t(spark, sf, "nation")
+    edges = (
+        c.select(F.concat(F.lit("c:"), "c_custkey").alias("src"),
+                 F.concat(F.lit("n:"), "c_nationkey").alias("dst"))
+        .unionByName(
+            n.select(F.concat(F.lit("n:"), "n_nationkey").alias("src"),
+                     F.concat(F.lit("r:"), "n_regionkey").alias("dst")))
+    )
+    seeds = c.filter("c_custkey < 10").select(F.concat(F.lit("c:"), "c_custkey").alias("id"))
+    cache = AdjacencyCache(edges)
+    out = cache.k_hop(seeds, k=2)
+    return out.select("id", F.col("hops").cast("long").alias("hops")).orderBy("hops", "id")
 
 
 def queries() -> dict[str, QueryFn]:
