@@ -179,6 +179,7 @@ def hybrid_search(
     vector_weight: float = 0.3,
     keyword_weight: float = 0.7,
     candidates: int = 100,
+    term_stats=None,
 ) -> DataFrame:
     """docs(doc_id, text) ⊕ vectors(vec_id, embedding) → top-k fused ids.
 
@@ -186,11 +187,21 @@ def hybrid_search(
     reference's top_k_candidates=50), fused with w/(60+rank). Both the
     candidate cut and the in-list rank order on floor(score·1e12)::BIGINT
     (stable_rank_key) so near-tied float scores rank identically on any
-    engine — the reference's determinism rule."""
+    engine — the reference's determinism rule.
+
+    ``term_stats``: an ingest-maintained lakehouse.fts term-stats LakeTable;
+    when given, the keyword arm scores with ONE corpus scan from the index
+    (bit-identical to the 2-scan form, so fused results are unchanged)."""
     from octocode_spark.operators.rrf import stable_rank_key
 
+    if term_stats is not None:
+        from octocode_spark.lakehouse.fts import bm25_scores_indexed
+
+        kw_scores = bm25_scores_indexed(docs.sparkSession, docs, term_stats, terms)
+    else:
+        kw_scores = bm25_scores(docs, terms)
     kw = (
-        bm25_scores(docs, terms)
+        kw_scores
         .select("id", stable_rank_key("bm25").alias("bm25q"))
         .orderBy(F.col("bm25q").desc(), F.col("id").asc())
         .limit(candidates)

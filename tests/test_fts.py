@@ -116,3 +116,16 @@ def test_duplicate_reserved_rows_detected(spark, docs, tmp_path):
     t.append(dup)
     with pytest.raises(RuntimeError, match="corrupted"):
         ingest_term_stats(spark, t, docs.limit(3))
+
+
+def test_hybrid_search_with_index_identical_to_plain(spark, docs, tmp_path):
+    """hybrid_search(term_stats=...) fuses identically to the 2-scan form —
+    the indexed keyword arm is bit-identical, so RRF output cannot move."""
+    from octocode_spark.operators.hybrid import hybrid_search
+
+    vecs = spark.read.parquet(f"{SF}/embeddings.parquet")
+    t = create_term_stats(str(tmp_path / "terms_hybrid"))
+    ingest_term_stats(spark, t, docs)
+    plain = hybrid_search(docs, vecs, TERMS, query_vec_id=0, k=15).collect()
+    indexed = hybrid_search(docs, vecs, TERMS, query_vec_id=0, k=15, term_stats=t).collect()
+    assert [r.asDict() for r in indexed] == [r.asDict() for r in plain]
