@@ -71,21 +71,29 @@ def dedup_keep_best(
 
 # ---------------------------------------------------------------- shingles
 
-def shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
-             id_col: str = "doc_id", hash_shingles: bool = True) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+def shingle_array(text: F.Column, n: int = 3, hash_shingles: bool = True) -> F.Column:
+    """Distinct word n-gram shingles of one text value as an array column.
 
     hash_shingles=True gives 8-byte xxhash64 shingles (the scale path: 10×
     narrower shuffle than raw trigram strings); False keeps raw strings
     (oracle-comparable in any SQL engine)."""
-    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    words = F.split(F.regexp_replace(F.lower(F.trim(text)), r"\s+", " "), " ")
     gram = lambda i: F.concat_ws(" ", F.slice(words, i + 1, n))  # noqa: E731
     grams = F.transform(
         F.sequence(F.lit(0), F.greatest(F.size(words) - n, F.lit(0))),
         (lambda i: F.xxhash64(gram(i))) if hash_shingles else gram,
     )
+    return F.array_distinct(grams)
+
+
+def shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
+             id_col: str = "doc_id", hash_shingles: bool = True) -> DataFrame:
+    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
     return (
-        docs.select(F.col(id_col).alias("doc_id"), F.explode(F.array_distinct(grams)).alias("shingle"))
+        docs.select(
+            F.col(id_col).alias("doc_id"),
+            F.explode(shingle_array(F.col(text_col), n, hash_shingles)).alias("shingle"),
+        )
         .distinct()
     )
 
@@ -212,6 +220,32 @@ def minhash_lsh_pairs(
         .filter(F.col("jaccard") >= threshold)
         .select("a", "b", F.round("jaccard", 6).alias("jaccard"))
     )
+
+
+def decontaminate(
+    docs: DataFrame,
+    benchmark: DataFrame,
+    n: int = 8,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    bench_text_col: str = "text",
+) -> DataFrame:
+    """Drop training documents sharing ANY word ``n``-gram with a held-out
+    benchmark set — the test-set contamination filter every serious
+    pretraining pipeline runs before training (n=8..13 word overlap is the
+    common published criterion).
+
+    Shape: both sides explode to hashed n-gram shingles; contaminated ids =
+    semi-join docs-shingles ⋉ benchmark-shingles (8-byte keys); survivors =
+    docs anti-join contaminated. The benchmark side is tiny relative to the
+    corpus — at cluster scale broadcast its distinct shingle set — and the
+    corpus is touched by exactly one explode+join, never pairwise."""
+    doc_sh = shingles(docs, text_col, n, id_col=id_col)
+    bench_sh = benchmark.select(
+        F.explode(shingle_array(F.col(bench_text_col), n)).alias("shingle")
+    ).distinct()
+    contaminated = doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi").select("doc_id").distinct()
+    return docs.join(contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
 
 
 # ---------------------------------------------------------------- components

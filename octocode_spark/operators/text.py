@@ -168,6 +168,27 @@ def count_pii(text: Column) -> Column:
     return total.cast("long")
 
 
+def c4_clean(text: Column, min_words: int = 5) -> Column:
+    """C4-style line-level cleaning (Raffel et al. 2020, the rules behind
+    the C4 corpus): keep only lines that (a) have ≥ ``min_words``
+    whitespace words, (b) end in terminal punctuation (. ! ? ")
+    and (c) contain neither 'lorem ipsum' nor a '{' (boilerplate/code
+    markers); surviving lines are re-joined with single newlines.
+
+    Pure array expressions over split(text, '\\n') — whole-stage codegen,
+    engine-portable (the same rules are plain list_filter in SQL)."""
+    lines = F.split(text, "\n")
+
+    def keep(line: Column) -> Column:
+        t = F.trim(line)
+        words = F.when(F.length(t) == 0, F.lit(0)).otherwise(F.size(F.split(t, r"\s+")))
+        terminal = t.rlike('[.!?"]$')
+        clean = ~F.lower(t).contains("lorem ipsum") & ~t.contains("{")
+        return (words >= min_words) & terminal & clean
+
+    return F.array_join(F.filter(lines, keep), "\n")
+
+
 def expand_by_shared_terms(
     docs: DataFrame,
     seeds: DataFrame,

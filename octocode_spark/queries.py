@@ -1815,6 +1815,92 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     return out.select("id", F.col("hops").cast("long").alias("hops")).orderBy("hops", "id")
 
 
+@_q(
+    "q56_c4_line_cleaning",
+    """
+    WITH lined AS (
+        SELECT doc_id,
+               'Document ' || doc_id || ' opens with a valid sentence.' || chr(10)
+               || text || chr(10)
+               || 'too short.' || chr(10)
+               || 'this line repeats lorem ipsum boilerplate filler text.' || chr(10)
+               || '{ code blob with braces everywhere here }' AS t
+        FROM documents),
+    cleaned AS (
+        SELECT doc_id,
+               array_to_string(list_filter(string_split(t, chr(10)), l ->
+                   CASE WHEN len(trim(l)) = 0 THEN 0
+                        ELSE len(string_split_regex(trim(l), '\\s+')) END >= 5
+                   AND regexp_matches(trim(l), '[.!?"]$')
+                   AND NOT contains(lower(trim(l)), 'lorem ipsum')
+                   AND NOT contains(trim(l), '{')), chr(10)) AS c
+        FROM lined)
+    SELECT doc_id,
+           CAST(CASE WHEN len(c) = 0 THEN 0
+                     ELSE len(string_split(c, chr(10))) END AS BIGINT) AS n_lines_kept,
+           CAST(len(c) AS BIGINT) AS cleaned_len
+    FROM cleaned ORDER BY doc_id
+    """,
+)
+def q56(spark: SparkSession, sf: str) -> DataFrame:
+    """C4-style line-level cleaning over synthesized multi-line documents:
+    a valid sentence survives; short lines, lorem-ipsum boilerplate, and
+    brace-bearing code blobs are dropped; the raw word-soup line's fate
+    depends on its own punctuation — identical rules in both engines."""
+    from octocode_spark.operators.text import c4_clean
+
+    d = _t(spark, sf, "documents")
+    lined = F.concat(
+        F.lit("Document "), F.col("doc_id").cast("string"),
+        F.lit(" opens with a valid sentence.\n"),
+        F.col("text"), F.lit("\n"),
+        F.lit("too short.\n"),
+        F.lit("this line repeats lorem ipsum boilerplate filler text.\n"),
+        F.lit("{ code blob with braces everywhere here }"),
+    )
+    cleaned = c4_clean(lined)
+    n_kept = F.when(F.length(cleaned) == 0, F.lit(0)).otherwise(
+        F.size(F.split(cleaned, "\n"))
+    )
+    return d.select(
+        "doc_id",
+        n_kept.cast("long").alias("n_lines_kept"),
+        F.length(cleaned).cast("long").alias("cleaned_len"),
+    ).orderBy("doc_id")
+
+
+@_q(
+    "q57_decontaminate",
+    """
+    WITH words AS (
+        SELECT doc_id,
+               string_split_regex(regexp_replace(lower(trim(text)), '\\s+', ' ', 'g'), ' ') AS ws
+        FROM documents),
+    grams AS (
+        SELECT doc_id, unnest(list_distinct(list_transform(
+                   generate_series(1, greatest(len(ws) - 7, 1)),
+                   i -> array_to_string(ws[i:i+7], ' ')))) AS shingle
+        FROM words),
+    bench AS (SELECT DISTINCT shingle FROM grams WHERE doc_id % 50 = 0),
+    contaminated AS (
+        SELECT DISTINCT g.doc_id FROM grams g JOIN bench USING (shingle))
+    SELECT d.doc_id FROM documents d
+    WHERE d.doc_id NOT IN (SELECT doc_id FROM contaminated)
+    ORDER BY d.doc_id
+    """,
+)
+def q57(spark: SparkSession, sf: str) -> DataFrame:
+    """Benchmark decontamination: drop training docs sharing any word
+    8-gram with the held-out set (every 50th doc plays the benchmark) —
+    the test-set contamination filter run before pretraining. One explode +
+    one broadcast semi-join; never pairwise."""
+    from octocode_spark.operators.dedup import decontaminate
+
+    d = _t(spark, sf, "documents")
+    bench = d.filter(F.col("doc_id") % 50 == 0)
+    return decontaminate(d, bench, n=8).select("doc_id").orderBy("doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -656,3 +656,45 @@ def test_multimodal_undecodable_fallback_modes(spark):
         extract_features(jpeg_ish).collect()
     out = extract_features(jpeg_ish, on_undecodable="stub").collect()
     assert len(out) == 1 and len(out[0]["features"]) == FEATURE_DIM
+
+
+def test_c4_clean_line_rules(spark):
+    """Each C4 rule on a crafted multi-line doc: min words, terminal
+    punctuation, lorem-ipsum marker, brace marker."""
+    from octocode_spark.operators.text import c4_clean
+
+    text = "\n".join([
+        "This is a perfectly valid sentence right here.",   # kept
+        "too short.",                                        # < 5 words
+        "this has five words but no terminal punctuation",   # no . ! ? "
+        "sprinkle some Lorem Ipsum into this sentence now.", # marker
+        "braces { appear } in this otherwise fine sentence.",# marker
+        'A quoted ending also counts as terminal "',         # kept (quote)
+        "Does a question mark count as terminal punctuation?",  # kept
+    ])
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    out = df.select(c4_clean(F.col("text")).alias("c")).collect()[0]["c"]
+    assert out.split("\n") == [
+        "This is a perfectly valid sentence right here.",
+        'A quoted ending also counts as terminal "',
+        "Does a question mark count as terminal punctuation?",
+    ]
+
+
+def test_decontaminate_ngram_overlap(spark):
+    """Docs sharing an 8-gram with the benchmark are dropped; shorter
+    overlaps survive; benchmark-disjoint docs survive."""
+    from octocode_spark.operators.dedup import decontaminate
+
+    bench_sentence = "the quick brown fox jumps over the lazy dog tonight"
+    docs = spark.createDataFrame(
+        [
+            (1, f"prefix words then {bench_sentence} and a suffix"),  # full overlap
+            (2, "a quick brown fox jumps over the lazy cat today"),  # 7-gram only
+            (3, "completely unrelated text about spark shuffles and parquet files"),
+        ],
+        "doc_id: long, text: string",
+    )
+    bench = spark.createDataFrame([(bench_sentence,)], "text: string")
+    kept = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
+    assert kept == {2, 3}
