@@ -27,12 +27,45 @@ from octocode_spark.lakehouse.table import DataFile, LakeTable
 from octocode_spark.operators.ann import IvfIndex, brute_force_topk, rank_cells
 
 
-def persist_ivf_index(index: IvfIndex, root: str) -> LakeTable:
+def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -> LakeTable:
     """Write the cell assignment as a LakeTable partitioned by `_cell`;
-    centroids + index config ride in the table properties."""
+    centroids + index config ride in the table properties.
+
+    ``quantize="sq8"`` stores scalar-quantized vectors — per-vector scale =
+    max|v|/127, components rounded to int8 range (the reference ships SQ 4×
+    compression on its IVF index, src/store/vector_optimizer.rs:26-36,
+    src/config.rs:140-143). Component values are small ints, which parquet's
+    dictionary/bit-pack encodings store in ~1 byte; the search path decodes
+    with a JVM transform (q·scale) before the exact cosine re-rank, so the
+    only accuracy cost is the ~0.4% SQ8 rounding — recall gate in tests."""
     sample = index.assigned.schema
-    fields = [f for f in sample.fields if f.name in (index.id_col, index.vec_col)]
-    schema = T.StructType(fields + [T.StructField("_cell", T.IntegerType(), False)])
+    vec_field = next(f for f in sample.fields if f.name == index.vec_col)
+    stored_vec = F.col(index.vec_col)
+    if quantize == "sq8":
+        v = F.col(index.vec_col).cast("array<double>")
+        scale = F.greatest(
+            F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0),
+            F.lit(1e-30),
+        )
+        fields = [
+            T.StructField(index.id_col, next(f for f in sample.fields if f.name == index.id_col).dataType, True),
+            T.StructField(index.vec_col, T.ArrayType(T.IntegerType()), True),
+            T.StructField("_scale", T.DoubleType(), True),
+            T.StructField("_cell", T.IntegerType(), False),
+        ]
+        sel = [
+            F.col(index.id_col),
+            F.transform(v, lambda x: F.round(x / scale).cast("int")).alias(index.vec_col),
+            scale.alias("_scale"),
+            F.col("_cell"),
+        ]
+    elif quantize is None:
+        fields = [f for f in sample.fields if f.name in (index.id_col, index.vec_col)]
+        fields = fields + [T.StructField("_cell", T.IntegerType(), False)]
+        sel = [F.col(index.id_col), stored_vec, F.col("_cell")]
+    else:
+        raise ValueError(f"unknown quantize mode {quantize!r} (None or 'sq8')")
+    schema = T.StructType(fields)
     t = LakeTable.create(
         root,
         schema,
@@ -42,9 +75,10 @@ def persist_ivf_index(index: IvfIndex, root: str) -> LakeTable:
             "ivf.id_col": index.id_col,
             "ivf.vec_col": index.vec_col,
             "ivf.normalized": "true" if index.normalized else "false",
+            "ivf.quantize": quantize or "none",
         },
     )
-    t.append(index.assigned.select(index.id_col, index.vec_col, "_cell"))
+    t.append(index.assigned.select(*sel))
     return t
 
 
@@ -112,9 +146,14 @@ def ivf_search_persisted(
     props = table.meta.properties
     centroids = json.loads(props["ivf.centroids"])
     normalized = props.get("ivf.normalized") == "true"
+    vec_col = props["ivf.vec_col"]
     cells = rank_cells(centroids, query, normalized)[:n_probe]
     files = probe_files(table, cells)
     cand = table.read_files(spark, files).drop("_cell")
-    return brute_force_topk(
-        cand, query, k, props["ivf.id_col"], props["ivf.vec_col"]
-    )
+    if props.get("ivf.quantize") == "sq8":
+        # JVM-side dequantize: v̂ = q · scale, then the exact cosine re-rank
+        cand = cand.withColumn(
+            vec_col,
+            F.transform(F.col(vec_col), lambda q: q.cast("double") * F.col("_scale")),
+        ).drop("_scale")
+    return brute_force_topk(cand, query, k, props["ivf.id_col"], vec_col)

@@ -131,3 +131,39 @@ def test_ivf_append_assigns_to_existing_centroids(spark, clustered, tmp_path):
     # and the persisted search path can find an appended vector
     got = ivf_search_persisted(spark, t, newbies[0][1], k=1, n_probe=1).collect()
     assert got[0]["vec_id"] == 1000
+
+
+def test_sq8_quantized_index_recall_and_size(spark, clustered, tmp_path):
+    """SQ8 storage: the quantized index is materially smaller on disk, the
+    search path dequantizes JVM-side, retrieval stays in the right
+    cluster with recall@10 >= 0.8 vs the exact baseline (this fixture's
+    intra-cluster spacing is AT the SQ8 noise floor, so exact top-10 order
+    inside the epsilon-ball is noise — the semantic guarantees are cluster
+    membership and the reference's published SQ recall trade-off), and the
+    decode error is bounded by scale/2 per component."""
+    vecs, base = clustered
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    full = persist_ivf_index(index, str(tmp_path / "ivf_full"))
+    sq8 = persist_ivf_index(index, str(tmp_path / "ivf_sq8"), quantize="sq8")
+    bytes_full = sum(f.bytes for f in full.files())
+    bytes_sq8 = sum(f.bytes for f in sq8.files())
+    assert bytes_sq8 < bytes_full * 0.6, (bytes_sq8, bytes_full)
+
+    hits = 0
+    for c in range(3):
+        q = [float(x) for x in base[c]]
+        exact = {r["vec_id"] for r in brute_force_topk(vecs, q, k=10).collect()}
+        approx = {r["vec_id"] for r in ivf_search_persisted(spark, sq8, q, k=10, n_probe=2).collect()}
+        hits += len(exact & approx)
+        # every result sits in the query's true cluster (ids c*60..c*60+59)
+        assert all(c * 60 <= vid < (c + 1) * 60 for vid in approx)
+    assert hits / 30 >= 0.8
+
+    # decode error bound: |q*scale - v| <= scale/2 per component
+    row = sq8.read(spark).filter("vec_id = 0").collect()[0]
+    orig = dict((r["vec_id"], r["embedding"]) for r in vecs.collect())[0]
+    dec = [q * row["_scale"] for q in row["embedding"]]
+    assert max(abs(a - b) for a, b in zip(dec, orig)) <= row["_scale"] / 2 + 1e-12
+
+    with pytest.raises(ValueError, match="unknown quantize"):
+        persist_ivf_index(index, str(tmp_path / "bad"), quantize="pq")
