@@ -189,6 +189,17 @@ def c4_clean(text: Column, min_words: int = 5) -> Column:
     return F.array_join(F.filter(lines, keep), "\n")
 
 
+def dedup_lines(text: Column) -> Column:
+    """Remove REPEATED lines within a document, keeping first occurrences in
+    order — the intra-doc boilerplate pass (nav bars, footers, cookie
+    banners repeat verbatim inside crawled pages). Pure array expressions:
+    keep line i iff its first occurrence index is i (F.filter's 2-arg
+    lambda binds (element, index))."""
+    lines = F.split(text, "\n")
+    kept = F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
+    return F.array_join(kept, "\n")
+
+
 def expand_by_shared_terms(
     docs: DataFrame,
     seeds: DataFrame,

@@ -1901,6 +1901,54 @@ def q57(spark: SparkSession, sf: str) -> DataFrame:
     return decontaminate(d, bench, n=8).select("doc_id").orderBy("doc_id")
 
 
+@_q(
+    "q58_intradoc_line_dedup",
+    """
+    WITH lined AS (
+        SELECT doc_id,
+               'Shared navigation header line here.' || chr(10)
+               || text || chr(10)
+               || 'Shared navigation header line here.' || chr(10)
+               || 'Cookie banner text repeats often.' || chr(10)
+               || 'Cookie banner text repeats often.' || chr(10)
+               || 'Unique footer for doc ' || doc_id || '.' AS t
+        FROM documents),
+    deduped AS (
+        SELECT doc_id,
+               array_to_string(
+                   list_filter(string_split(t, chr(10)),
+                               (l, i) -> list_position(string_split(t, chr(10)), l) = i),
+                   chr(10)) AS c
+        FROM lined)
+    SELECT doc_id,
+           CAST(len(string_split(c, chr(10))) AS BIGINT) AS n_lines_kept,
+           CAST(len(c) AS BIGINT) AS deduped_len
+    FROM deduped ORDER BY doc_id
+    """,
+)
+def q58(spark: SparkSession, sf: str) -> DataFrame:
+    """Intra-document duplicate-line removal (boilerplate pass): repeated
+    nav/cookie lines collapse to their first occurrence, order preserved —
+    identical first-occurrence rule in both engines."""
+    from octocode_spark.operators.text import dedup_lines
+
+    d = _t(spark, sf, "documents")
+    lined = F.concat(
+        F.lit("Shared navigation header line here.\n"),
+        F.col("text"), F.lit("\n"),
+        F.lit("Shared navigation header line here.\n"),
+        F.lit("Cookie banner text repeats often.\n"),
+        F.lit("Cookie banner text repeats often.\n"),
+        F.lit("Unique footer for doc "), F.col("doc_id").cast("string"), F.lit("."),
+    )
+    deduped = dedup_lines(lined)
+    return d.select(
+        "doc_id",
+        F.size(F.split(deduped, "\n")).cast("long").alias("n_lines_kept"),
+        F.length(deduped).cast("long").alias("deduped_len"),
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -698,3 +698,12 @@ def test_decontaminate_ngram_overlap(spark):
     bench = spark.createDataFrame([(bench_sentence,)], "text: string")
     kept = {r["doc_id"] for r in decontaminate(docs, bench, n=8).collect()}
     assert kept == {2, 3}
+
+
+def test_dedup_lines_keeps_first_occurrences_in_order(spark):
+    from octocode_spark.operators.text import dedup_lines
+
+    text = "\n".join(["nav", "body one", "nav", "cookie", "cookie", "body two", "nav"])
+    df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
+    out = df.select(dedup_lines(F.col("text")).alias("c")).collect()[0]["c"]
+    assert out.split("\n") == ["nav", "body one", "cookie", "body two"]
