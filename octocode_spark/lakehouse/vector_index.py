@@ -39,8 +39,6 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
     with a JVM transform (q·scale) before the exact cosine re-rank, so the
     only accuracy cost is the ~0.4% SQ8 rounding — recall gate in tests."""
     sample = index.assigned.schema
-    vec_field = next(f for f in sample.fields if f.name == index.vec_col)
-    stored_vec = F.col(index.vec_col)
     if quantize == "sq8":
         v = F.col(index.vec_col).cast("array<double>")
         scale = F.greatest(
@@ -62,7 +60,7 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
     elif quantize is None:
         fields = [f for f in sample.fields if f.name in (index.id_col, index.vec_col)]
         fields = fields + [T.StructField("_cell", T.IntegerType(), False)]
-        sel = [F.col(index.id_col), stored_vec, F.col("_cell")]
+        sel = [F.col(index.id_col), F.col(index.vec_col), F.col("_cell")]
     else:
         raise ValueError(f"unknown quantize mode {quantize!r} (None or 'sq8')")
     schema = T.StructType(fields)
@@ -117,10 +115,26 @@ def ivf_append(table: LakeTable, new_vectors: DataFrame):
         )
         for cen in centroids
     ])
-    assigned = new_vectors.select(
-        F.col(id_col), F.col(vec_col),
-        (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("_cell"),
-    )
+    cell = (F.array_position(dists, F.array_min(dists)) - 1).cast("int").alias("_cell")
+    quant = props.get("ivf.quantize", "none")
+    if quant == "sq8":
+        # quantize appended vectors exactly like the build did, so the table
+        # stays schema- and semantics-uniform
+        raw = F.col(vec_col).cast("array<double>")
+        scale = F.greatest(
+            F.aggregate(raw, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0),
+            F.lit(1e-30),
+        )
+        assigned = new_vectors.select(
+            F.col(id_col),
+            F.transform(raw, lambda x: F.round(x / scale).cast("int")).alias(vec_col),
+            scale.alias("_scale"),
+            cell,
+        )
+    elif quant in ("none", ""):
+        assigned = new_vectors.select(F.col(id_col), F.col(vec_col), cell)
+    else:
+        raise ValueError(f"ivf_append: unsupported quantize mode {quant!r}")
     return table.append(assigned)
 
 

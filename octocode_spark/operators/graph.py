@@ -73,7 +73,12 @@ def relationships_by_type_keyset(
     sort+limit compiles to TakeOrderedAndProject — per-partition partial
     top-k merged on the driver. No global row_number window, so a type-only
     query never funnels every matching edge through one reducer. ALL edge
-    columns pass through (weight/confidence/etc. stay on the page)."""
+    columns pass through (weight/confidence/etc. stay on the page).
+
+    PRECONDITION: (src, dst, rel_type) must uniquely identify an edge — the
+    cursor IS that triple, so a multigraph with parallel same-typed edges
+    has rows the cursor cannot address individually (dedupe or fold
+    parallel edges first, e.g. max-weight per triple)."""
     out = _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
     if after is not None:
         a_src, a_dst, a_type = after
@@ -113,13 +118,21 @@ def relationships_by_type(
     from pyspark.sql import Window
 
     lo = page * page_size
+    filtered = _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
+    # deterministic total order even on multigraphs: parallel same-typed
+    # edges (distinct payloads) tie on the triple, so a content-hash of the
+    # full row breaks the tie identically on every run/partitioning
+    row_tie = F.xxhash64(*[F.col(c) for c in filtered.columns])
     sliced = (
-        _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
-        .orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
+        filtered
+        .orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc(), row_tie.asc())
         .offset(lo)
         .limit(page_size)
     )
-    w = Window.orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc())
+    w = Window.orderBy(
+        F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc(),
+        F.xxhash64(*[F.col(c) for c in sliced.columns]).asc(),
+    )
     return sliced.withColumn("rn", F.row_number().over(w) + F.lit(lo))
 
 

@@ -42,7 +42,13 @@ def stable_rank_key(score: Column | str) -> Column:
         F.lit("stable_rank_key: |score| >= 9e6 would saturate the quantized "
               "key; rank on the raw column (quantize=False) instead")
     ).cast("long")
-    return F.when(F.isnan(c), F.lit(None).cast("long")).when(in_domain, key).otherwise(err)
+    # NULL first: isnan(NULL)=false and (abs(NULL) < x)=NULL would otherwise
+    # fall through to the error arm
+    return (
+        F.when(c.isNull() | F.isnan(c), F.lit(None).cast("long"))
+        .when(in_domain, key)
+        .otherwise(err)
+    )
 
 
 def rank_in_list(df: DataFrame, order_col: str, ascending: bool = True,

@@ -194,7 +194,13 @@ def dedup_lines(text: Column) -> Column:
     order — the intra-doc boilerplate pass (nav bars, footers, cookie
     banners repeat verbatim inside crawled pages). Pure array expressions:
     keep line i iff its first occurrence index is i (F.filter's 2-arg
-    lambda binds (element, index))."""
+    lambda binds (element, index)).
+
+    Bounds: array_position rescans the line array per line — O(L²) string
+    compares per document, fine for crawled pages (L ~ 10²-10³) but use a
+    mapInPandas set-based pass for pathological million-line rows. Blank
+    separator lines collapse like any other duplicate (run after, not
+    before, paragraph-aware processing if blank structure matters)."""
     lines = F.split(text, "\n")
     kept = F.filter(lines, lambda l, i: F.array_position(lines, l) == i + 1)
     return F.array_join(kept, "\n")

@@ -90,8 +90,15 @@ def curate(
     fuzzy = dedup_fuzzy(exact, pairs)
     n_fuzzy = fuzzy.count()
 
-    # 4. benchmark decontamination (optional)
-    decon = decontaminate(fuzzy, benchmark, n=8) if benchmark is not None else fuzzy
+    # 4. benchmark decontamination (optional). Truncate lineage here: the
+    # chain above (windows + LSH joins + iterative CC) would otherwise
+    # re-execute for the pack stage, the commit, and every count below —
+    # the survivors are the SMALL end of the funnel, so materializing them
+    # once is the cheap side of the persist-vs-rescan trade
+    decon = (
+        (decontaminate(fuzzy, benchmark, n=8) if benchmark is not None else fuzzy)
+        .localCheckpoint(eager=True)
+    )
     n_decon = decon.count()
 
     # 5. pack into fixed token budgets per source stream
@@ -108,14 +115,16 @@ def curate(
         stat_cols=["doc_id", "n_tok"],
     )
     snap = table.append(final)
-    n_packs = packed.select("stream", "pack_id").distinct().count()
+    committed = table.read(spark)  # downstream consumers read the TABLE,
+    n_packs = committed.select("source", "pack_id").distinct().count()
 
-    # 7. maintain the BM25 term-stats index at ingest (optional)
+    # 7. maintain the BM25 term-stats index at ingest (optional) — fed from
+    # the committed files, not a re-run of the curation plan
     if term_stats_root is not None:
         from octocode_spark.lakehouse.fts import create_term_stats, ingest_term_stats
 
         stats = create_term_stats(term_stats_root)
-        ingest_term_stats(spark, stats, final)
+        ingest_term_stats(spark, stats, committed)
 
     return CurationStats(
         n_raw=n_raw,

@@ -1518,10 +1518,15 @@ def q40(spark: SparkSession, sf: str) -> DataFrame:
     e = _t(spark, sf, "embeddings")
     qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
     index = build_ivf_index(e, n_clusters=8, cache=False)
-    root = tempfile.mkdtemp(prefix="q40_ivf_") + "/ivf"
+    tmp = tempfile.mkdtemp(prefix="q40_ivf_")
+    # the scan must outlive this call (the driver collects lazily); reap the
+    # temp index at interpreter exit instead of leaking one copy per run
+    import atexit
+    import shutil
+
+    atexit.register(shutil.rmtree, tmp, True)
+    root = tmp + "/ivf"
     persist_ivf_index(index, root)
-    # the scan must outlive this call (the driver collects lazily), so the
-    # temp index table is left for the OS tempdir cleanup
     return ivf_search_persisted(spark, load_ivf_index(root), qv, k=10, n_probe=2)
 
 
@@ -1811,8 +1816,16 @@ def q55(spark: SparkSession, sf: str) -> DataFrame:
     )
     seeds = c.filter("c_custkey < 10").select(F.concat(F.lit("c:"), "c_custkey").alias("id"))
     cache = AdjacencyCache(edges)
-    out = cache.k_hop(seeds, k=2)
-    return out.select("id", F.col("hops").cast("long").alias("hops")).orderBy("hops", "id")
+    out = (
+        cache.k_hop(seeds, k=2)
+        .select("id", F.col("hops").cast("long").alias("hops"))
+        .orderBy("hops", "id")
+        # decouple the (tiny) result from the cached adjacency so the cache
+        # can be released instead of living for the whole gate session
+        .localCheckpoint(eager=True)
+    )
+    cache.unpersist()
+    return out
 
 
 @_q(

@@ -601,9 +601,11 @@ def test_stable_rank_key_domain_and_nan(spark):
 
     from octocode_spark.operators.rrf import stable_rank_key
 
-    ok = spark.createDataFrame([(1, 0.5), (2, float("nan"))], "id: long, s: double")
+    ok = spark.createDataFrame(
+        [(1, 0.5), (2, float("nan")), (3, None)], "id: long, s: double"
+    )
     rows = {r["id"]: r["k"] for r in ok.select("id", stable_rank_key("s").alias("k")).collect()}
-    assert rows[1] == int(0.5e12) and rows[2] is None
+    assert rows[1] == int(0.5e12) and rows[2] is None and rows[3] is None
 
     big = spark.createDataFrame([(1, 2.0e7)], "id: long, s: double")
     with pytest.raises(Exception, match="saturate"):
@@ -707,3 +709,32 @@ def test_dedup_lines_keeps_first_occurrences_in_order(spark):
     df = spark.createDataFrame([(1, text)], "doc_id: long, text: string")
     out = df.select(dedup_lines(F.col("text")).alias("c")).collect()[0]["c"]
     assert out.split("\n") == ["nav", "body one", "cookie", "body two"]
+
+
+def test_offset_pagination_deterministic_on_multigraph(spark):
+    """Parallel same-typed edges with distinct payloads must land on stable
+    pages: no row duplicated or lost across consecutive pages, same pages
+    on repeated runs (content-hash tie-break)."""
+    from octocode_spark.operators.graph import relationships_by_type
+
+    rows = [("x", "y", "knows", float(w)) for w in range(7)] + [
+        ("a", "b", "knows", 1.0), ("c", "d", "knows", 2.0),
+    ]
+    edges = spark.createDataFrame(
+        rows, "src: string, dst: string, rel_type: string, weight: double"
+    ).repartition(4)
+
+    def pages():
+        got = []
+        for p in range(3):
+            got.append(sorted(
+                (r["src"], r["dst"], r["weight"])
+                for r in relationships_by_type(edges, rel_type="knows",
+                                               page_size=4, page=p).collect()
+            ))
+        return got
+
+    first, second = pages(), pages()
+    assert first == second  # repeatable
+    flat = [t for page in first for t in page]
+    assert len(flat) == 9 and len(set(flat)) == 9  # no dup / no loss

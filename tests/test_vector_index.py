@@ -167,3 +167,22 @@ def test_sq8_quantized_index_recall_and_size(spark, clustered, tmp_path):
 
     with pytest.raises(ValueError, match="unknown quantize"):
         persist_ivf_index(index, str(tmp_path / "bad"), quantize="pq")
+
+
+def test_ivf_append_into_sq8_index(spark, clustered, tmp_path):
+    """Incremental append must honor the stored quantize mode: appended
+    vectors are SQ8-quantized like the build, stay schema-uniform, and are
+    findable through the dequantizing search path."""
+    vecs, base = clustered
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "ivf_sq8_app"), quantize="sq8")
+
+    from octocode_spark.lakehouse.vector_index import ivf_append
+
+    new_df = spark.createDataFrame(
+        [(5000, [float(x) for x in base[1]])], "vec_id: long, embedding: array<double>"
+    )
+    ivf_append(t, new_df)
+    t.refresh()
+    got = ivf_search_persisted(spark, t, [float(x) for x in base[1]], k=1, n_probe=1).collect()
+    assert got[0]["vec_id"] == 5000  # the exact centroid vector wins top-1

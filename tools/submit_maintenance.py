@@ -61,8 +61,14 @@ def main() -> None:
     from pyspark.sql import SparkSession
 
     spark = SparkSession.builder.appName("octocode-maintenance").getOrCreate()
-    # executors may predate --py-files in some launch modes; addPyFile is
-    # idempotent and makes plain-python launches equivalent
+    # plain-python launches (no --py-files) must still ship the package to
+    # executor workers; addPyFile is idempotent, so doing it unconditionally
+    # also covers launch modes where --py-files reached only the driver
+    import tempfile
+
+    zpath = os.path.join(tempfile.gettempdir(), "octocode_spark_submit.zip")
+    make_zip(zpath)
+    spark.sparkContext.addPyFile(zpath)
     from octocode_spark.lakehouse import LakeTable, Ledger
     from octocode_spark.lakehouse.maintenance import full_maintenance
 
