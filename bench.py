@@ -28,7 +28,11 @@ sys.path.insert(0, REPO)
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
-BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1500000"))
+# 1M rows (was 1.5M in r3): shorter measured units buy MORE window-paired
+# rounds inside the same phase budget — the gate fails when one 20-60s
+# rewrite spans a host-weather change, so more/shorter rounds raise the odds
+# the median lands on clean windows (round-3 verdict ask #5)
+BENCH_ROWS = int(os.environ.get("SPARK_GRAFT_BENCH_ROWS", "1000000"))
 # tmpfs by default: this sandbox's virtio disk is slow and its async
 # writeback bleeds across runs (observed 10× wall-time variance); RAM is the
 # honest medium for a CPU-scaling measurement
@@ -208,7 +212,7 @@ def _round_cpu_ratio(small: int, big: int) -> float:
 
 def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 3,
                             cluster_by: str | None = "zorder",
-                            max_extra_rounds: int = 4,
+                            max_extra_rounds: int = 6,
                             warmup_root: str | None = None) -> tuple[dict[int, dict], dict]:
     """Alternate parallelism levels round-robin so BOTH sample the same host
     window (this VM's effective hardware is bimodal on minute scales — a
@@ -333,7 +337,7 @@ def main() -> None:
     input_root = build_input("input")
     warmup_root = build_input("warmup", rows=max(BENCH_ROWS // 8, 50_000))
     levels, rstats = maintenance_interleaved(
-        input_root, [small_cores, CPUS], rounds=3, warmup_root=warmup_root
+        input_root, [small_cores, CPUS], rounds=5, warmup_root=warmup_root
     )
     m_small, m_big = levels[small_cores], levels[CPUS]
     shutil.rmtree(input_root, ignore_errors=True)
@@ -355,7 +359,30 @@ def main() -> None:
     finally:
         spark.stop()
 
-    print(json.dumps({
+    # STDOUT CONTRACT (round-3 postmortem): the driver captures only the LAST
+    # ~2000 chars of stdout — r3's one-line JSON carried full per-round/
+    # per-phase detail, overflowed the capture, and the round lost its
+    # machine-readable bench record (`parsed: null`). The headline line stays
+    # compact (hard-guarded < 1900 chars); everything else goes to
+    # BENCH_DETAIL.json next to this script.
+    detail = {
+        "rows": BENCH_ROWS,
+        "input_files": INPUT_FILES,
+        "target_file_size": TARGET_FILE_SIZE,
+        f"local[{small_cores}]": m_small,
+        f"local[{CPUS}]": m_big,
+        "scaling_rounds": rstats,
+        "hw_ceilings": hw,
+        "scaling_efficiency_vs_membw_ceiling": round(eff_vs_membw, 3) if eff_vs_membw else None,
+        "queries": queries,
+    }
+    with open(os.path.join(REPO, "BENCH_DETAIL.json"), "w") as f:
+        json.dump(detail, f, indent=1)
+
+    def _level_brief(m: dict) -> dict:
+        return {k: m[k] for k in ("seconds", "gb_per_sec", "seq_per_sec", "files_in", "files_out")}
+
+    headline = {
         "metric": "maintenance+query suite wall time",
         "value": total,
         "unit": "sec",
@@ -364,16 +391,22 @@ def main() -> None:
         "maintenance": {
             "task": "bin-pack compaction + Z-order clustered rewrite (sequences table)",
             "rows": BENCH_ROWS,
-            f"local[{small_cores}]": m_small,
-            f"local[{CPUS}]": m_big,
+            f"local[{small_cores}]": _level_brief(m_small),
+            f"local[{CPUS}]": _level_brief(m_big),
             "speedup_Nto4N": round(ratio, 3),
             "scaling_efficiency_raw": round(efficiency, 3),
-            "scaling_rounds": rstats,
-            "hw_ceilings": hw,
             "scaling_efficiency_vs_cpu_ceiling": round(eff_vs_cpu, 3) if eff_vs_cpu else None,
-            "scaling_efficiency_vs_membw_ceiling": round(eff_vs_membw, 3) if eff_vs_membw else None,
+            "rounds": len(rstats["per_round"]),
+            "rounds_stalled": rstats["rounds_stalled"],
+            "detail": "BENCH_DETAIL.json",
         },
-    }))
+    }
+    line = json.dumps(headline)
+    if len(line) > 1900:  # belt-and-braces: never overflow the capture again
+        headline.pop("queries")
+        headline["queries_in"] = "BENCH_DETAIL.json"
+        line = json.dumps(headline)
+    print(line)
 
 
 if __name__ == "__main__":
