@@ -256,19 +256,25 @@ def q08(spark: SparkSession, sf: str) -> DataFrame:
     reference's exact formula, src/store/weighted_rrf.rs:24-165), as a
     window-rank + full-outer merge."""
     ev = _t(spark, sf, "events")
-    by_value = (
-        ev.groupBy("user_id")
-        .agg(F.sum(_cents(F.col("value"), 10000)).alias("s"))
-        .withColumn("r", F.row_number().over(Window.orderBy(F.col("s").desc(), F.col("user_id").asc())))
-        .limit(100)
-        .select(F.col("user_id").alias("vid"), F.col("r").alias("vr"))
+    # Scale shape (round-3 verdict): the top-100 cut is orderBy().limit()
+    # (TakeOrderedAndProject — parallel per-partition partial top-k), and
+    # only the resulting <=100-row frame goes through the global
+    # row_number window. Ranking every user through a no-partition window
+    # BEFORE the limit would funnel the whole corpus into one task.
+    def _top100_ranked(df, score_col: str, out_id: str, out_rank: str):
+        cut = df.orderBy(F.col(score_col).desc(), F.col("user_id").asc()).limit(100)
+        w = Window.orderBy(F.col(score_col).desc(), F.col("user_id").asc())
+        return cut.withColumn("r", F.row_number().over(w)).select(
+            F.col("user_id").alias(out_id), F.col("r").alias(out_rank)
+        )
+
+    by_value = _top100_ranked(
+        ev.groupBy("user_id").agg(F.sum(_cents(F.col("value"), 10000)).alias("s")),
+        "s", "vid", "vr",
     )
-    by_count = (
-        ev.groupBy("user_id")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .withColumn("r", F.row_number().over(Window.orderBy(F.col("c").desc(), F.col("user_id").asc())))
-        .limit(100)
-        .select(F.col("user_id").alias("cid"), F.col("r").alias("cr"))
+    by_count = _top100_ranked(
+        ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("c")),
+        "c", "cid", "cr",
     )
     fused = by_value.join(by_count, by_value.vid == by_count.cid, "full_outer").select(
         F.coalesce("vid", "cid").alias("id"),

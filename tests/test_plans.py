@@ -78,6 +78,37 @@ def test_q42_multiquery_single_window_exchange(spark, qs):
     assert "EvalPython" not in plan
 
 
+def test_q42_windowgrouplimit_precut_before_exchange(spark, qs):
+    """No unbounded per-query window sort: the row_number<=budget filter
+    must trigger Catalyst's rank-limit pushdown, planning a MAP-SIDE
+    WindowGroupLimit BELOW the query_id exchange — each input task ships
+    only its local top-budget per query, so the reduce-side sort is bounded
+    by budget x n_input_partitions (round-3 verdict wrong-shape #3)."""
+    plan = formatted_plan(qs["q42_multiquery_rrf"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    wgl = [i for i in range(len(tree)) if tree.startswith("WindowGroupLimit", i)]
+    ex = [i for i in range(len(tree)) if tree.startswith("- Exchange (", i)]
+    assert len(wgl) >= 2, tree          # reduce-side AND map-side partial top-k
+    assert ex, tree
+    # root-first tree: a later text position = deeper node. The deepest
+    # WindowGroupLimit must sit below the deepest shuffle exchange.
+    assert max(wgl) > max(ex), tree
+
+
+def test_q08_rank_windows_consume_topk_cut_only(spark, qs):
+    """q08's rank windows are global (no partition key) by construction —
+    they must each consume a TakeOrderedAndProject-cut <=100-row frame, not
+    the full user population (round-3 verdict wrong-shape #2)."""
+    import re
+
+    plan = formatted_plan(qs["q08_weighted_rrf_users"](spark, SF))
+    tree = plan.split("\n\n")[0]
+    assert tree.count("TakeOrderedAndProject") == 2, tree
+    # each Window node's direct child is the top-k cut
+    pairs = re.findall(r"Window \(\d+\)\n[^\n]*TakeOrderedAndProject", tree)
+    assert len(pairs) == 2, tree
+
+
 def test_global_rewrite_plan_scans_fat_table_once(spark, tmp_table_dir):
     """The routed clustered rewrite reads the fat table ONCE: exactly one
     parquet scan of the table files and no range-sampling re-execution
