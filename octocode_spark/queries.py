@@ -1610,7 +1610,62 @@ def q28(spark: SparkSession, sf: str) -> DataFrame:
     return minhash_lsh_pairs(_t(spark, sf, "documents"), threshold=0.3).orderBy("a", "b")
 
 
-@_q("q29_multimodal_features")  # no oracle: mapInPandas decode not SQL-expressible
+def _q29_oracle(n: int = 120) -> str:
+    """q29's DuckDB oracle: payloads AND decoders are fully deterministic, so
+    a driver-side python twin regenerates every payload (hashlib sha256 twin
+    of the JVM sha2/repeat/to_binary expression chain), decodes it with the
+    SAME numpy decoders the executors run, and folds the expected rows into
+    a VALUES literal — the q30 constant-folding trick applied to the whole
+    result (round-3 verdict ask #9). What it cross-checks end-to-end: the
+    JVM payload-generation expressions against the python twin, and the
+    mapInPandas Arrow plumbing (schema, batching, the float32 feature path).
+    Rounding twin: Spark round(x, 5) is HALF_UP over the shortest-decimal
+    repr (java BigDecimal.valueOf), replicated with Decimal(repr(x))."""
+    import hashlib
+    from decimal import ROUND_HALF_UP, Decimal
+
+    import numpy as np
+
+    from octocode_spark.operators.multimodal import (
+        IMG_H,
+        IMG_W,
+        WAV_SAMPLES,
+        _audio_features,
+        _image_features,
+        _stub_features,
+        _wav_header,
+        decode_ppm,
+        decode_wav_pcm16,
+    )
+
+    def r5(x) -> str:
+        return str(Decimal(repr(float(x))).quantize(Decimal("0.00001"), ROUND_HALF_UP))
+
+    rows = []
+    for i in range(n):
+        kind = ("image", "audio", "video")[i % 3]
+        hexd = hashlib.sha256(f"media-{i}".encode()).hexdigest()
+        if kind == "image":
+            payload = f"P6\n{IMG_W} {IMG_H}\n255\n".encode() + bytes.fromhex(hexd * 6)
+            feats = _image_features(decode_ppm(payload))
+        elif kind == "audio":
+            payload = _wav_header(WAV_SAMPLES * 2) + bytes.fromhex(hexd * 4)
+            feats = _audio_features(*decode_wav_pcm16(payload))
+        else:
+            payload = bytes.fromhex(hexd * 8)
+            feats = _stub_features(payload, kind)
+        f32 = np.asarray(feats, dtype=np.float32)  # executors store float32
+        rows.append(f"('m-{i:08d}','{kind}',{len(payload)},{r5(f32[0])},{r5(f32[1])})")
+    values = ",\n        ".join(rows)
+    return f"""
+    SELECT media_id, kind, CAST(n_bytes AS BIGINT) AS n_bytes,
+           CAST(f0 AS DOUBLE) AS f0, CAST(f1 AS DOUBLE) AS f1
+    FROM (VALUES {values}) AS t(media_id, kind, n_bytes, f0, f1)
+    ORDER BY media_id
+    """
+
+
+@_q("q29_multimodal_features", _q29_oracle())
 def q29(spark: SparkSession, sf: str) -> DataFrame:
     """Features from REALLY-decoded media: image payloads are valid PPM,
     audio payloads valid WAV PCM-16, parsed by dependency-free numpy
