@@ -532,6 +532,23 @@ class LakeTable:
                 return info["head"]
             time.sleep(0.01)
 
+    def update_properties(self, updates: dict[str, str]) -> None:
+        """ALTER TABLE SET TBLPROPERTIES analog: CAS-merge ``updates`` into
+        the table properties (a value of None deletes the key). Metadata-only
+        commit — no snapshot, no data files touched."""
+        while True:
+            meta = load_latest_metadata(self.root)
+            props = dict(meta.properties)
+            for k, v in updates.items():
+                if v is None:
+                    props.pop(k, None)
+                else:
+                    props[k] = str(v)
+            if write_metadata_exclusive(self.root, self._with(meta, properties=props)):
+                self.refresh()
+                return
+            time.sleep(0.01)
+
     def drop_branch(self, name: str) -> None:
         """Abandon a staging branch (its snapshots become expirable)."""
         while True:

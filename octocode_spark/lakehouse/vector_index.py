@@ -77,6 +77,11 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
         },
     )
     t.append(index.assigned.select(*sel))
+    # sizing metadata for the drift gates: rows from the manifests (no scan)
+    t.update_properties({
+        "ivf.indexed_rows": str(sum(f.records for f in t.files())),
+        "ivf.n_clusters": str(len(index.centroids)),
+    })
     return t
 
 
@@ -87,18 +92,24 @@ def load_ivf_index(root: str) -> LakeTable:
     return t
 
 
-def ivf_append(table: LakeTable, new_vectors: DataFrame):
+def ivf_append(table: LakeTable, new_vectors: DataFrame, recluster_on_drift: bool = True):
     """Incremental index maintenance: assign NEW vectors to the EXISTING
-    centroids and append them to the cell-partitioned table — no re-train
-    (the reference extends its index at ingest and rebuilds only on >50%
-    drift, src/store/vector_optimizer.rs:226-258; `needs_recluster` is the
-    drift gate here too).
+    centroids and append them to the cell-partitioned table — no re-train on
+    the normal path.
+
+    DRIFT GATE (reference vector_optimizer.rs:226-258, round-3 verdict ask
+    #4): after the append, if the corpus grew >50% past ``ivf.indexed_rows``
+    (the row count the quantizer was trained on — checked from manifests,
+    no scan), ``recluster_on_drift`` triggers ivf_recluster: re-train at the
+    NEW adaptive cell count and rewrite the assignment. Pass False to defer
+    (e.g. batch many appends, then recluster once); ivf_needs_recluster
+    reports the pending drift either way.
 
     Assignment is a pure JVM expression: per-centroid squared L2 distance
     via zip_with against the centroid literals (normalized first when the
     index is spherical), cell = position of the array minimum — no Python,
     no ML model object needed on the executors. Returns the commit
-    Snapshot."""
+    Snapshot (of the recluster overwrite when the gate fired)."""
     props = table.meta.properties
     centroids = json.loads(props["ivf.centroids"])
     id_col, vec_col = props["ivf.id_col"], props["ivf.vec_col"]
@@ -135,7 +146,88 @@ def ivf_append(table: LakeTable, new_vectors: DataFrame):
         assigned = new_vectors.select(F.col(id_col), F.col(vec_col), cell)
     else:
         raise ValueError(f"ivf_append: unsupported quantize mode {quant!r}")
-    return table.append(assigned)
+    snap = table.append(assigned)
+    if recluster_on_drift and ivf_needs_recluster(table):
+        snap = ivf_recluster(new_vectors.sparkSession, table)
+    return snap
+
+
+def ivf_needs_recluster(table: LakeTable) -> bool:
+    """True when the corpus drifted past the trained layout: >50% row growth
+    since training, or the cell count is >50% off today's adaptive optimum.
+    Pure metadata — manifests for rows, properties for the trained state."""
+    from octocode_spark.operators.ann import (
+        calculate_ivf_params,
+        needs_reindex,
+        should_recreate_index,
+    )
+
+    table.refresh()
+    props = table.meta.properties
+    indexed_rows = int(props.get("ivf.indexed_rows", "0"))
+    current_rows = sum(f.records for f in table.files())
+    if needs_reindex(current_rows, indexed_rows):
+        return True
+    n_clusters = int(props.get("ivf.n_clusters", "0")) or len(json.loads(props["ivf.centroids"]))
+    return should_recreate_index(n_clusters, calculate_ivf_params(current_rows))
+
+
+def _read_dequantized(spark: SparkSession, table: LakeTable) -> DataFrame:
+    """(id_col, vec_col array<double>) view of the stored corpus, decoding
+    whatever quantization the index carries."""
+    props = table.meta.properties
+    id_col, vec_col = props["ivf.id_col"], props["ivf.vec_col"]
+    df = table.read(spark)
+    if props.get("ivf.quantize") == "sq8":
+        df = df.withColumn(
+            vec_col, F.transform(F.col(vec_col), lambda q: q.cast("double") * F.col("_scale"))
+        )
+    return df.select(id_col, vec_col)
+
+
+def ivf_recluster(spark: SparkSession, table: LakeTable):
+    """Re-train the coarse quantizer over the CURRENT corpus at the adaptive
+    cell count and atomically rewrite the assignment (overwrite_all — one
+    snapshot, time-travel keeps the old layout). The reference's
+    recreate-index-on-drift (vector_optimizer.rs:226-258). SQ8 indexes
+    retrain on dequantized vectors: centroid positions shift by at most the
+    SQ8 rounding noise, irrelevant to a coarse quantizer."""
+    from octocode_spark.operators.ann import build_ivf_index, calculate_ivf_params
+
+    props = dict(table.meta.properties)
+    id_col, vec_col = props["ivf.id_col"], props["ivf.vec_col"]
+    normalized = props.get("ivf.normalized") == "true"
+    quant = props.get("ivf.quantize", "none")
+    current_rows = sum(f.records for f in table.files())
+    params = calculate_ivf_params(current_rows)
+    n_clusters = params.n_clusters if params.should_create_index else max(
+        int(props.get("ivf.n_clusters", "2")), 2
+    )
+    corpus = _read_dequantized(spark, table)
+    index = build_ivf_index(
+        corpus, n_clusters, id_col=id_col, vec_col=vec_col, cache=False, normalize=normalized
+    )
+    if quant == "sq8":
+        v = F.col(vec_col).cast("array<double>")
+        scale = F.greatest(
+            F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0),
+            F.lit(1e-30),
+        )
+        sel = [
+            F.col(id_col),
+            F.transform(v, lambda x: F.round(x / scale).cast("int")).alias(vec_col),
+            scale.alias("_scale"),
+            F.col("_cell"),
+        ]
+    else:
+        sel = [F.col(id_col), F.col(vec_col), F.col("_cell")]
+    snap = table.overwrite_all(index.assigned.select(*sel))
+    table.update_properties({
+        "ivf.centroids": json.dumps([[float(x) for x in c] for c in index.centroids]),
+        "ivf.indexed_rows": str(current_rows),
+        "ivf.n_clusters": str(n_clusters),
+    })
+    return snap
 
 
 def probe_files(table: LakeTable, cells: list[int]) -> list[DataFile]:

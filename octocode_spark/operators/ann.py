@@ -14,6 +14,9 @@ deterministic at any parallelism.
 
 from __future__ import annotations
 
+import math
+from typing import NamedTuple
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -122,6 +125,51 @@ def lsh_signature_literal(vec: list[float], num_planes: int) -> Column:
     return sig
 
 
+# ---------------------------------------------------------------- adaptive sizing
+# The reference derives the IVF partition count from the corpus size instead
+# of taking a fixed parameter (src/store/vector_optimizer.rs:130-197):
+# rows//2^20 for large corpora, trunc(sqrt(rows)) small, clamped [2, 1024],
+# and no index at all below 1k rows (brute force wins there).
+IVF_MIN_INDEX_ROWS = 1000
+IVF_LARGE_ROWS = 1_048_576
+IVF_MIN_PARTITIONS = 2
+IVF_MAX_PARTITIONS = 1024
+
+
+class IvfParams(NamedTuple):
+    should_create_index: bool
+    n_clusters: int
+
+
+def calculate_ivf_params(row_count: int) -> IvfParams:
+    """Adaptive IVF sizing (reference calculate_index_params,
+    src/store/vector_optimizer.rs:130-197): at 10^9 vectors this yields ~954
+    cells — a fixed n_clusters=16 default would be no index at that scale."""
+    if row_count < IVF_MIN_INDEX_ROWS:
+        return IvfParams(False, 0)
+    if row_count >= IVF_LARGE_ROWS:
+        n = row_count // IVF_LARGE_ROWS
+    else:
+        n = max(math.isqrt(row_count), IVF_MIN_PARTITIONS)  # trunc(sqrt), as the reference casts
+    return IvfParams(True, min(max(n, IVF_MIN_PARTITIONS), IVF_MAX_PARTITIONS))
+
+
+def should_recreate_index(current_partitions: int, optimal: IvfParams) -> bool:
+    """Partition-count drift gate (vector_optimizer.rs:226-239): recreate
+    when the current cell count is >50% off the optimum for today's rows."""
+    if not optimal.should_create_index:
+        return False
+    return abs(current_partitions - optimal.n_clusters) / optimal.n_clusters > 0.5
+
+
+def needs_reindex(current_rows: int, indexed_rows: int) -> bool:
+    """Growth drift gate (vector_optimizer.rs:241-258): re-train after the
+    corpus grew >50% past what the index was built on."""
+    if indexed_rows == 0:
+        return False
+    return (current_rows - indexed_rows) / indexed_rows > 0.5
+
+
 class IvfIndex:
     """A built IVF index: coarse-quantizer centroids (driver-side, tiny) +
     the cell-assigned corpus (distributed). ``assigned`` is what
@@ -140,7 +188,7 @@ class IvfIndex:
 
 def build_ivf_index(
     vectors: DataFrame,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     train_fraction: float | None = None,
@@ -151,6 +199,13 @@ def build_ivf_index(
     quantizer trained on the corpus (or a deterministic md5-bucket sample at
     scale via ``train_fraction``), then one transform pass assigns every
     vector to its cell.
+
+    ``n_clusters=None`` (default) sizes the index ADAPTIVELY from the row
+    count via calculate_ivf_params — rows//2^20 large, trunc(sqrt) small,
+    clamp [2, 1024] — and raises below 1000 rows, where the reference skips
+    indexing because brute_force_topk wins. The count is one column-pruned
+    count(*) (parquet answers it from footers). Pass an explicit n_clusters
+    to pin the layout instead.
 
     With ``normalize`` (default) training/assignment run on L2-normalized
     copies (spherical k-means), making the probe step's L2 centroid ranking
@@ -164,6 +219,16 @@ def build_ivf_index(
     """
     from pyspark.ml.clustering import KMeans
     from pyspark.ml.functions import array_to_vector
+
+    if n_clusters is None:
+        params = calculate_ivf_params(vectors.count())
+        if not params.should_create_index:
+            raise ValueError(
+                f"corpus below {IVF_MIN_INDEX_ROWS} rows: skip the index and use "
+                "brute_force_topk (reference vector_optimizer.rs:137-155), or pin "
+                "n_clusters explicitly"
+            )
+        n_clusters = params.n_clusters
 
     v = F.col(vec_col).cast("array<double>")
     if normalize:
@@ -223,7 +288,7 @@ def ivf_topk(
     vectors: DataFrame,
     query: list[float],
     k: int = 10,
-    n_clusters: int = 16,
+    n_clusters: int | None = None,
     n_probe: int = 2,
     id_col: str = "vec_id",
     vec_col: str = "embedding",

@@ -169,6 +169,106 @@ def test_sq8_quantized_index_recall_and_size(spark, clustered, tmp_path):
         persist_ivf_index(index, str(tmp_path / "bad"), quantize="pq")
 
 
+def test_adaptive_ivf_sizing_formula():
+    """Mirror of the reference's property tests (vector_optimizer.rs:261-345)
+    for the transplanted sizing formula."""
+    from octocode_spark.operators.ann import (
+        IvfParams,
+        calculate_ivf_params,
+        needs_reindex,
+        should_recreate_index,
+    )
+
+    assert not calculate_ivf_params(500).should_create_index   # small → brute force
+    p5k = calculate_ivf_params(5000)
+    assert p5k.should_create_index and p5k.n_clusters >= 2     # medium → index
+    assert calculate_ivf_params(50000).n_clusters > p5k.n_clusters  # grows with rows
+    assert calculate_ivf_params(2_000_000).n_clusters == 2     # 2M // 2^20 ≈ 1.9 → 2 (clamped from 1)
+    assert calculate_ivf_params(1000).n_clusters >= 2          # minimum partitions
+    optimal = IvfParams(True, 100)
+    assert not should_recreate_index(80, optimal)              # <50% drift
+    assert should_recreate_index(10, optimal)                  # >50% drift
+    assert not needs_reindex(1500, 1000)                       # 50% growth — at the bar
+    assert needs_reindex(2000, 1000)                           # 100% growth
+    assert not needs_reindex(1000, 1000)
+    assert not needs_reindex(1000, 0)                          # never-indexed guard
+
+
+def test_adaptive_ivf_sizing_bounds_property():
+    import math
+
+    from hypothesis import given, settings
+    from hypothesis import strategies as st
+
+    from octocode_spark.operators.ann import calculate_ivf_params
+
+    @settings(max_examples=300, deadline=None)
+    @given(st.integers(min_value=0, max_value=10**13))
+    def check(rows):
+        p = calculate_ivf_params(rows)
+        if rows < 1000:
+            assert not p.should_create_index
+        else:
+            assert p.should_create_index
+            assert 2 <= p.n_clusters <= 1024
+            if rows >= 1_048_576:
+                assert p.n_clusters == min(max(rows // 1_048_576, 2), 1024)
+            else:
+                assert p.n_clusters == max(math.isqrt(rows), 2)
+
+    check()
+    # 10^9 vectors → ~954 cells, NOT the old fixed 16
+    assert calculate_ivf_params(10**9).n_clusters == 953
+
+
+def test_build_ivf_index_adaptive_default_refuses_tiny_corpus(spark, clustered):
+    vecs, _ = clustered  # 240 rows < 1000
+    with pytest.raises(ValueError, match="brute_force_topk"):
+        build_ivf_index(vecs, cache=False)
+
+
+def test_ivf_append_drift_triggers_recluster(spark, clustered, tmp_path):
+    """>50% growth through ivf_append re-trains the quantizer: centroids and
+    indexed_rows update, the table is rewritten in one snapshot, and search
+    still finds both old and new vectors."""
+    import json
+
+    from octocode_spark.lakehouse.vector_index import (
+        ivf_append,
+        ivf_needs_recluster,
+        ivf_recluster,
+    )
+
+    vecs, base = clustered
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "ivf_drift"))
+    assert t.meta.properties["ivf.indexed_rows"] == "240"
+    assert not ivf_needs_recluster(t)
+    old_centroids = t.meta.properties["ivf.centroids"]
+
+    rng = np.random.RandomState(7)
+    grown = [
+        (2000 + i, [float(x) for x in base[i % N_CLUSTERS] + rng.randn(16) * 0.1])
+        for i in range(150)  # 240 → 390 rows: 62% growth > the 50% gate
+    ]
+    new_df = spark.createDataFrame(grown, "vec_id: long, embedding: array<double>")
+
+    # deferred mode: append only, drift reported but not acted on
+    ivf_append(t, new_df.limit(0), recluster_on_drift=False)
+    assert not ivf_needs_recluster(t)
+    ivf_append(t, new_df, recluster_on_drift=False)
+    assert ivf_needs_recluster(t)
+
+    ivf_recluster(spark, t)
+    assert t.meta.properties["ivf.indexed_rows"] == "390"
+    assert not ivf_needs_recluster(t)
+    assert t.meta.properties["ivf.centroids"] != old_centroids
+    got = ivf_search_persisted(spark, t, grown[0][1], k=1, n_probe=2).collect()
+    assert got[0]["vec_id"] == 2000
+    got_old = ivf_search_persisted(spark, t, [float(x) for x in base[0]], k=10, n_probe=2).collect()
+    assert got_old  # pre-growth vectors still reachable
+
+
 def test_ivf_append_into_sq8_index(spark, clustered, tmp_path):
     """Incremental append must honor the stored quantize mode: appended
     vectors are SQ8-quantized like the build, stay schema-uniform, and are
