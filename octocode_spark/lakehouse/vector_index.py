@@ -37,9 +37,37 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
     src/config.rs:140-143). Component values are small ints, which parquet's
     dictionary/bit-pack encodings store in ~1 byte; the search path decodes
     with a JVM transform (q·scale) before the exact cosine re-rank, so the
-    only accuracy cost is the ~0.4% SQ8 rounding — recall gate in tests."""
+    only accuracy cost is the ~0.4% SQ8 rounding — recall gate in tests.
+
+    ``quantize="rq1"`` stores 1 bit per dimension — the RaBitQ 32×-vs-float32
+    tier the reference pairs with IVF for large-scale search
+    (vector_optimizer.rs:26-36,52-54): sign bits packed into ceil(dim/64)
+    longs plus the per-vector L2 norm as `_scale`. The search path pre-ranks
+    in-cell by Hamming distance (xor + bit_count, pure codegen) and
+    exact-re-ranks a shortlist against caller-supplied full vectors — see
+    ivf_search_persisted(rerank_vectors=...). At 100 TB of embeddings the
+    8× storage delta vs sq8 is the difference between an index that fits
+    and one that doesn't."""
     sample = index.assigned.schema
-    if quantize == "sq8":
+    dim = len(index.centroids[0])
+    if quantize == "rq1":
+        from octocode_spark.operators.ann import rq1_code_col
+
+        v = F.col(index.vec_col).cast("array<double>")
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        fields = [
+            T.StructField(index.id_col, next(f for f in sample.fields if f.name == index.id_col).dataType, True),
+            T.StructField(index.vec_col, T.ArrayType(T.LongType()), True),
+            T.StructField("_scale", T.DoubleType(), True),
+            T.StructField("_cell", T.IntegerType(), False),
+        ]
+        sel = [
+            F.col(index.id_col),
+            rq1_code_col(v, dim).alias(index.vec_col),
+            norm.alias("_scale"),
+            F.col("_cell"),
+        ]
+    elif quantize == "sq8":
         v = F.col(index.vec_col).cast("array<double>")
         scale = F.greatest(
             F.aggregate(v, F.lit(0.0), lambda a, x: F.greatest(a, F.abs(x))) / F.lit(127.0),
@@ -62,7 +90,7 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
         fields = fields + [T.StructField("_cell", T.IntegerType(), False)]
         sel = [F.col(index.id_col), F.col(index.vec_col), F.col("_cell")]
     else:
-        raise ValueError(f"unknown quantize mode {quantize!r} (None or 'sq8')")
+        raise ValueError(f"unknown quantize mode {quantize!r} (None, 'sq8', or 'rq1')")
     schema = T.StructType(fields)
     t = LakeTable.create(
         root,
@@ -74,6 +102,7 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
             "ivf.vec_col": index.vec_col,
             "ivf.normalized": "true" if index.normalized else "false",
             "ivf.quantize": quantize or "none",
+            "ivf.dim": str(dim),
         },
     )
     t.append(index.assigned.select(*sel))
@@ -142,6 +171,18 @@ def ivf_append(table: LakeTable, new_vectors: DataFrame, recluster_on_drift: boo
             scale.alias("_scale"),
             cell,
         )
+    elif quant == "rq1":
+        from octocode_spark.operators.ann import rq1_code_col
+
+        dim = int(props["ivf.dim"])
+        raw = F.col(vec_col).cast("array<double>")
+        norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+        assigned = new_vectors.select(
+            F.col(id_col),
+            rq1_code_col(raw, dim).alias(vec_col),
+            norm.alias("_scale"),
+            cell,
+        )
     elif quant in ("none", ""):
         assigned = new_vectors.select(F.col(id_col), F.col(vec_col), cell)
     else:
@@ -178,9 +219,30 @@ def _read_dequantized(spark: SparkSession, table: LakeTable) -> DataFrame:
     props = table.meta.properties
     id_col, vec_col = props["ivf.id_col"], props["ivf.vec_col"]
     df = table.read(spark)
-    if props.get("ivf.quantize") == "sq8":
+    quant = props.get("ivf.quantize")
+    if quant == "sq8":
         df = df.withColumn(
             vec_col, F.transform(F.col(vec_col), lambda q: q.cast("double") * F.col("_scale"))
+        )
+    elif quant == "rq1":
+        # sign reconstruction v̂_i = (±1) · scale/√dim — all the code retains;
+        # ample for re-training a COARSE quantizer (directions survive,
+        # magnitudes are per-vector uniform)
+        import math
+
+        dim = int(props["ivf.dim"])
+        code = F.col(vec_col)
+        df = df.withColumn(
+            vec_col,
+            F.transform(
+                F.sequence(F.lit(0), F.lit(dim - 1)),
+                lambda i: (
+                    F.getbit(
+                        F.element_at(code, F.floor(i / F.lit(64)).cast("int") + F.lit(1)),
+                        i % F.lit(64),
+                    ).cast("double") * F.lit(2.0) - F.lit(1.0)
+                ) * F.col("_scale") / F.lit(math.sqrt(dim)),
+            ),
         )
     return df.select(id_col, vec_col)
 
@@ -219,6 +281,18 @@ def ivf_recluster(spark: SparkSession, table: LakeTable):
             scale.alias("_scale"),
             F.col("_cell"),
         ]
+    elif quant == "rq1":
+        from octocode_spark.operators.ann import rq1_code_col
+
+        dim = int(props["ivf.dim"])
+        v = F.col(vec_col).cast("array<double>")
+        norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+        sel = [
+            F.col(id_col),
+            rq1_code_col(v, dim).alias(vec_col),
+            norm.alias("_scale"),
+            F.col("_cell"),
+        ]
     else:
         sel = [F.col(id_col), F.col(vec_col), F.col("_cell")]
     snap = table.overwrite_all(index.assigned.select(*sel))
@@ -245,21 +319,54 @@ def ivf_search_persisted(
     query: list[float],
     k: int = 10,
     n_probe: int = 2,
+    rerank_vectors: DataFrame | None = None,
+    shortlist: int | None = None,
 ) -> DataFrame:
     """QUERY PATH against the persisted index: centroids from table
     properties (no corpus IO), probe cells planned as a file list via the
-    manifests, exact cosine re-rank inside those files only."""
+    manifests, exact cosine re-rank inside those files only.
+
+    rq1 indexes pre-rank the probed cells by HAMMING distance to the query's
+    sign code (xor + bit_count, whole-stage codegen) and keep a shortlist of
+    ``shortlist`` (default max(10k, 100)) candidates. With
+    ``rerank_vectors`` — a (id_col, vec_col) frame holding the FULL vectors,
+    e.g. the source corpus — the shortlist ids are fetched by a broadcast
+    semi-join (a few hundred ids against any corpus size) and exact-cosine
+    re-ranked, the RaBitQ search shape. Without it, results carry the
+    Hamming-derived cosine estimate cos(π·h/dim)."""
+    import math
+
     props = table.meta.properties
     centroids = json.loads(props["ivf.centroids"])
     normalized = props.get("ivf.normalized") == "true"
-    vec_col = props["ivf.vec_col"]
+    id_col, vec_col = props["ivf.id_col"], props["ivf.vec_col"]
     cells = rank_cells(centroids, query, normalized)[:n_probe]
     files = probe_files(table, cells)
     cand = table.read_files(spark, files).drop("_cell")
-    if props.get("ivf.quantize") == "sq8":
+    quant = props.get("ivf.quantize")
+    if quant == "rq1":
+        from octocode_spark.operators.ann import rq1_hamming, rq1_query_code
+
+        dim = int(props["ivf.dim"])
+        hm = rq1_hamming(vec_col, rq1_query_code(query))
+        short = (
+            cand.select(F.col(id_col), hm.alias("_hm"))
+            .orderBy(F.col("_hm").asc(), F.col(id_col).asc())  # TakeOrderedAndProject
+            .limit(shortlist or max(10 * k, 100))
+        )
+        if rerank_vectors is not None:
+            fetched = rerank_vectors.join(F.broadcast(short.select(id_col)), id_col, "inner")
+            return brute_force_topk(fetched, query, k, id_col, vec_col)
+        approx = F.round(F.cos(F.lit(math.pi) * F.col("_hm") / F.lit(float(dim))), 6)
+        return (
+            short.select(F.col(id_col), approx.alias("cosine"))
+            .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
+            .limit(k)
+        )
+    if quant == "sq8":
         # JVM-side dequantize: v̂ = q · scale, then the exact cosine re-rank
         cand = cand.withColumn(
             vec_col,
             F.transform(F.col(vec_col), lambda q: q.cast("double") * F.col("_scale")),
         ).drop("_scale")
-    return brute_force_topk(cand, query, k, props["ivf.id_col"], vec_col)
+    return brute_force_topk(cand, query, k, id_col, vec_col)

@@ -125,6 +125,58 @@ def lsh_signature_literal(vec: list[float], num_planes: int) -> Column:
     return sig
 
 
+# ---------------------------------------------------------------- rq1 sign codes
+# 1-bit-per-dimension binary quantization — the RaBitQ 32×-compression tier
+# the reference ships beside SQ (IVF_RQ, src/store/vector_optimizer.rs:26-36,
+# 52-54). Code = sign bits packed into ceil(dim/64) longs; distance proxy =
+# Hamming via xor + bit_count (the simhash_near_pairs trick); per-vector L2
+# norm rides along as `_scale` so a dot-product estimate stays available.
+
+
+def rq1_code_col(vec_col: str | Column, dim: int) -> Column:
+    """array<bigint> of ceil(dim/64) words: bit j of word w = 1 iff
+    v[64w+j] >= 0. Pure JVM (shiftleft/bitwiseOR) — bit 63 lands on the
+    sign bit exactly like the python twin's signed conversion."""
+    v = (F.col(vec_col) if isinstance(vec_col, str) else vec_col).cast("array<double>")
+    words = []
+    for w in range((dim + 63) // 64):
+        acc = F.lit(0).cast("long")
+        for j in range(min(64, dim - 64 * w)):
+            bit = F.when(
+                F.element_at(v, 64 * w + j + 1) >= 0,
+                F.shiftleft(F.lit(1).cast("long"), j),
+            ).otherwise(F.lit(0).cast("long"))
+            acc = acc.bitwiseOR(bit)
+        words.append(acc)
+    return F.array(*words)
+
+
+def rq1_query_code(query: list[float]) -> list[int]:
+    """The query's sign code, computed on the driver (no Spark job) —
+    signed-64 words bit-identical to rq1_code_col."""
+    words = []
+    for w in range((len(query) + 63) // 64):
+        acc = 0
+        for j in range(min(64, len(query) - 64 * w)):
+            if float(query[64 * w + j]) >= 0:
+                acc |= 1 << j
+        if acc >= 1 << 63:  # two's-complement into a signed long
+            acc -= 1 << 64
+        words.append(acc)
+    return words
+
+
+def rq1_hamming(code_col: str | Column, query_words: list[int]) -> Column:
+    """Hamming distance between a stored code and the query's words:
+    Σ bit_count(word ⊕ qword) — whole-stage-codegen, no UDF."""
+    c = F.col(code_col) if isinstance(code_col, str) else code_col
+    total = None
+    for i, qw in enumerate(query_words):
+        t = F.bit_count(F.element_at(c, i + 1).bitwiseXOR(F.lit(qw).cast("long")))
+        total = t if total is None else total + t
+    return total.cast("int")
+
+
 # ---------------------------------------------------------------- adaptive sizing
 # The reference derives the IVF partition count from the corpus size instead
 # of taking a fixed parameter (src/store/vector_optimizer.rs:130-197):

@@ -169,6 +169,130 @@ def test_sq8_quantized_index_recall_and_size(spark, clustered, tmp_path):
         persist_ivf_index(index, str(tmp_path / "bad"), quantize="pq")
 
 
+@pytest.fixture(scope="module")
+def clustered64(spark):
+    """4 clusters × 100 vectors at dim 64 — wide enough for sign codes to
+    separate clusters (16-bit codes would alias)."""
+    rng = np.random.RandomState(11)
+    base = rng.randn(N_CLUSTERS, 64) * 4
+    rows = []
+    vid = 0
+    for c in range(N_CLUSTERS):
+        for _ in range(100):
+            v = base[c] + rng.randn(64) * 0.5
+            rows.append((vid, [float(x) for x in v]))
+            vid += 1
+    vecs = spark.createDataFrame(rows, "vec_id: long, embedding: array<double>").cache()
+    yield vecs, base
+    vecs.unpersist()
+
+
+def _vec_col_bytes(table) -> int:
+    """Parquet-footer compressed bytes of the embedding column only — the
+    honest measure of the quantizer tier itself (id/_scale/file overhead
+    excluded)."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    tot = 0
+    for f in glob.glob(table.root + "/data/**/*.parquet", recursive=True):
+        md = pq.ParquetFile(f).metadata
+        for rg in range(md.num_row_groups):
+            for ci in range(md.num_columns):
+                col = md.row_group(rg).column(ci)
+                if col.path_in_schema.startswith("embedding"):
+                    tot += col.total_compressed_size
+    return tot
+
+
+def test_rq1_code_twin_and_hamming(spark, clustered64):
+    """The JVM sign-code expression and the driver-side python twin agree
+    bit-for-bit, and the Hamming expression matches python popcount."""
+    from pyspark.sql import functions as F
+
+    from octocode_spark.operators.ann import rq1_code_col, rq1_hamming, rq1_query_code
+
+    vecs, base = clustered64
+    sample = vecs.limit(20).collect()
+    coded = {
+        r["vec_id"]: r["code"]
+        for r in vecs.limit(20).select("vec_id", rq1_code_col("embedding", 64).alias("code")).collect()
+    }
+    for r in sample:
+        assert coded[r["vec_id"]] == rq1_query_code(r["embedding"])
+    q = [float(x) for x in base[0]]
+    qw = rq1_query_code(q)
+
+    def pop_hamming(words):
+        return sum(bin((a ^ b) & ((1 << 64) - 1)).count("1") for a, b in zip(words, qw))
+
+    got = {
+        r["vec_id"]: r["h"]
+        for r in vecs.limit(20)
+        .select("vec_id", rq1_hamming(rq1_code_col("embedding", 64), qw).alias("h"))
+        .collect()
+    }
+    for vid, words in coded.items():
+        assert got[vid] == pop_hamming(words)
+
+
+def test_rq1_recall_with_rerank_and_storage(spark, clustered64, tmp_path):
+    """The RaBitQ-analog gate (round-3 verdict ask #6): Hamming pre-rank +
+    exact re-rank on the shortlist reaches recall@10 >= 0.9 vs brute force,
+    and the quantized vector column stores >= 8x smaller than sq8
+    (1 bit/dim vs ~1 byte/dim)."""
+    vecs, base = clustered64
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    rq1 = persist_ivf_index(index, str(tmp_path / "rq1"), quantize="rq1")
+    sq8 = persist_ivf_index(index, str(tmp_path / "sq8"), quantize="sq8")
+
+    hits = 0
+    for c in range(N_CLUSTERS):
+        q = [float(x) for x in base[c]]
+        exact = {r["vec_id"] for r in brute_force_topk(vecs, q, k=10).collect()}
+        approx = {
+            r["vec_id"]
+            for r in ivf_search_persisted(
+                spark, rq1, q, k=10, n_probe=2, rerank_vectors=vecs
+            ).collect()
+        }
+        hits += len(exact & approx)
+    assert hits / (10 * N_CLUSTERS) >= 0.9
+
+    b_rq1, b_sq8 = _vec_col_bytes(rq1), _vec_col_bytes(sq8)
+    assert b_sq8 >= 8 * b_rq1, (b_rq1, b_sq8)
+
+    # hamming-only mode returns the cos(pi*h/dim) estimate, bounded [-1, 1]
+    est = ivf_search_persisted(spark, rq1, [float(x) for x in base[0]], k=5, n_probe=2).collect()
+    assert len(est) == 5 and all(-1.0 <= r["cosine"] <= 1.0 for r in est)
+
+
+def test_rq1_append_and_recluster(spark, clustered64, tmp_path):
+    """Appends into an rq1 index quantize like the build (schema-uniform,
+    findable), and the drift recluster retrains from sign reconstructions."""
+    from octocode_spark.lakehouse.vector_index import ivf_append, ivf_recluster
+
+    vecs, base = clustered64
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "rq1_app"), quantize="rq1")
+    new_df = spark.createDataFrame(
+        [(9000, [float(x) for x in base[2]])], "vec_id: long, embedding: array<double>"
+    )
+    ivf_append(t, new_df, recluster_on_drift=False)
+    t.refresh()
+    got = ivf_search_persisted(spark, t, [float(x) for x in base[2]], k=1, n_probe=1,
+                               rerank_vectors=vecs.unionByName(new_df)).collect()
+    assert got[0]["vec_id"] == 9000  # exact centroid vector wins after re-rank
+
+    ivf_recluster(spark, t)
+    assert t.meta.properties["ivf.quantize"] == "rq1"
+    assert t.meta.properties["ivf.indexed_rows"] == "401"
+    got = ivf_search_persisted(spark, t, [float(x) for x in base[2]], k=1, n_probe=2,
+                               rerank_vectors=vecs.unionByName(new_df)).collect()
+    assert got[0]["vec_id"] == 9000
+
+
 def test_adaptive_ivf_sizing_formula():
     """Mirror of the reference's property tests (vector_optimizer.rs:261-345)
     for the transplanted sizing formula."""
