@@ -20,6 +20,8 @@ local stack (benchmark/RESULTS.md:17) — that tilt is the default here.
 
 from __future__ import annotations
 
+from collections.abc import Callable
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
@@ -180,6 +182,7 @@ def hybrid_search(
     keyword_weight: float = 0.7,
     candidates: int = 100,
     term_stats=None,
+    reranker: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """docs(doc_id, text) ⊕ vectors(vec_id, embedding) → top-k fused ids.
 
@@ -191,7 +194,16 @@ def hybrid_search(
 
     ``term_stats``: an ingest-maintained lakehouse.fts term-stats LakeTable;
     when given, the keyword arm scores with ONE corpus scan from the index
-    (bit-identical to the 2-scan form, so fused results are unchanged)."""
+    (bit-identical to the 2-scan form, so fused results are unchanged).
+
+    ``reranker``: injection seam for a downstream scoring stage — the
+    reference's hybrid path accepts a pluggable Reranker object
+    (src/store/mod.rs:1218-1310; trait src/store/weighted_rrf.rs:65-166).
+    Applied to the FUSED candidate frame (id, rrf_score, sources — at most
+    2·candidates rows, so an expensive model-backed stage stays bounded)
+    BEFORE the final top-k cut; the frame it returns is what gets limited,
+    so it may rescore, reorder, or filter. None (default) keeps today's
+    weighted-RRF order bit-identical."""
     from octocode_spark.operators.rrf import stable_rank_key
 
     if term_stats is not None:
@@ -220,10 +232,12 @@ def hybrid_search(
         .orderBy(F.col("cosq").desc(), F.col("id").asc())
         .limit(candidates)
     )
-    return weighted_rrf(
-        [(kw, keyword_weight, "bm25q", False), (vec, vector_weight, "cosq", False)],
-        limit=k,
+    fused = weighted_rrf(
+        [(kw, keyword_weight, "bm25q", False), (vec, vector_weight, "cosq", False)]
     )
+    if reranker is not None:
+        fused = reranker(fused)
+    return fused.limit(k) if k else fused
 
 
 def hybrid_search_auto(
@@ -235,6 +249,7 @@ def hybrid_search_auto(
     candidates: int = 100,
     default_vector_weight: float = DEFAULT_VECTOR_WEIGHT,
     default_keyword_weight: float = DEFAULT_KEYWORD_WEIGHT,
+    reranker: Callable[[DataFrame], DataFrame] | None = None,
 ) -> DataFrame:
     """hybrid_search with the query-shape auto weight tilt: terms come from
     the query text (same tokenizer as the corpus), weights from
@@ -251,4 +266,5 @@ def hybrid_search_auto(
     return hybrid_search(
         docs, vectors, terms, query_vec_id, k,
         vector_weight=vw, keyword_weight=kw_w, candidates=candidates,
+        reranker=reranker,
     )

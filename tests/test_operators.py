@@ -484,6 +484,42 @@ def test_query_shape_auto_weight_tilt(spark):
     assert [r.asDict() for r in auto_nl] == [r.asDict() for r in explicit_nl]
 
 
+def test_hybrid_reranker_injection_seam(spark):
+    """Pluggable reranker (reference src/store/mod.rs:1218-1310, Reranker
+    trait src/store/weighted_rrf.rs:65-166): a custom callable applied to
+    the fused candidate frame reorders/filters before the final cut, and
+    the default (None) path is bit-identical to the pre-seam behavior."""
+    from pyspark.sql import functions as F
+
+    from octocode_spark.operators.hybrid import hybrid_search
+    from octocode_spark.operators.rrf import weighted_rrf
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    vecs = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    terms = ["spark", "join", "window"]
+
+    default = hybrid_search(docs, vecs, terms, 0, k=10).collect()
+    explicit_none = hybrid_search(docs, vecs, terms, 0, k=10, reranker=None).collect()
+    assert [r.asDict() for r in default] == [r.asDict() for r in explicit_none]
+
+    # a reranker that inverts the fused order (stand-in for a cross-encoder)
+    def invert(fused):
+        return fused.orderBy(F.col("rrf_score").asc(), F.col("id").asc())
+
+    inverted = hybrid_search(docs, vecs, terms, 0, k=10, reranker=invert).collect()
+    assert [r["id"] for r in inverted] != [r["id"] for r in default]
+    # it saw the FULL fused candidate set: its k-th item ranks below every
+    # default top-k item on rrf_score
+    assert inverted[0]["rrf_score"] <= default[-1]["rrf_score"]
+
+    # a filtering reranker bounds the output
+    def only_multi_source(fused):
+        return fused.filter(F.col("sources") >= 2)
+
+    multi = hybrid_search(docs, vecs, terms, 0, k=10, reranker=only_multi_source).collect()
+    assert all(r["sources"] >= 2 for r in multi)
+
+
 def test_count_pii_equals_placeholders_emitted(spark):
     """count_pii is DEFINED as the number of placeholders redact_pii emits —
     including adjacency-sensitive cases where a replacement changes what a
