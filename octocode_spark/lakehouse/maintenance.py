@@ -21,6 +21,7 @@ tail with small partitions.
 
 from __future__ import annotations
 
+import os
 import threading
 import time
 from concurrent.futures import ThreadPoolExecutor
@@ -462,6 +463,30 @@ def _commit_global(table, todo, added, ledger, op, cluster_by, res, t0) -> Rewri
     return res
 
 
+def prune_dangling_delete_sidecars(table: LakeTable):
+    """Drop merge-on-read delete sidecars whose referenced data files are no
+    longer live — after compaction rewrites a file, its pending deletes are
+    baked into the rewrite (read_files applies them) and the sidecar entries
+    dangle. A sidecar is removable only when EVERY referenced file is gone;
+    partially-dangling sidecars stay (their live entries still apply, dead
+    entries match nothing). Driver-side pyarrow reads — sidecars are small
+    by the MoR tier's contract. Returns the commit Snapshot or None."""
+    sidecars = table.delete_files()
+    if not sidecars:
+        return None
+    live = {os.path.basename(f.path) for f in table.files()}
+    dead = [
+        f for f in sidecars
+        if not (table._sidecar_file_names([f]) & live)
+    ]
+    if not dead:
+        return None
+    return table.replace_files(
+        [f.path for f in dead], added=[], operation="prune-deletes",
+        summary={"pruned-delete-sidecars": len(dead)},
+    )
+
+
 def full_maintenance(
     spark: SparkSession,
     table: LakeTable,
@@ -489,6 +514,7 @@ def full_maintenance(
             spark, table, plan, ledger=ledger, op="compact", cluster_by=cluster_by,
             target_file_size=target_file_size, max_concurrency=max_concurrency,
         )
+    pruned_deletes = prune_dangling_delete_sidecars(table)
     manifest_snap = table.rewrite_manifests()
     # expire deletes the files it expired (provenance-safe); the orphan scan
     # only reaps crash leftovers older than the writer grace window, so it
@@ -501,4 +527,6 @@ def full_maintenance(
         "expired_snapshots": len(expired),
         "expired_files_removed": len(getattr(table, "last_gc_files", [])),
         "orphans_removed": len(orphans),
+        "pruned_delete_sidecars": pruned_deletes.summary.get("pruned-delete-sidecars", 0)
+        if pruned_deletes else 0,
     }

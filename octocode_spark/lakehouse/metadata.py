@@ -35,19 +35,29 @@ class DataFile:
     # per-column {col: [min, max]} for primitive stat columns; the min/max
     # that drives manifest file-skipping (Iceberg lower_bounds/upper_bounds)
     stats: dict[str, list[Any]] = field(default_factory=dict)
+    # Iceberg manifest-entry content: "data" or "deletes" (positional delete
+    # sidecars for the merge-on-read tier). Omitted from JSON for data files
+    # so pre-MoR manifests stay byte-identical.
+    content: str = "data"
 
     def to_json(self) -> dict:
-        return {
+        out = {
             "path": self.path,
             "partition": self.partition,
             "records": self.records,
             "bytes": self.bytes,
             "stats": self.stats,
         }
+        if self.content != "data":
+            out["content"] = self.content
+        return out
 
     @staticmethod
     def from_json(d: dict) -> "DataFile":
-        return DataFile(d["path"], d["partition"], d["records"], d["bytes"], d.get("stats", {}))
+        return DataFile(
+            d["path"], d["partition"], d["records"], d["bytes"], d.get("stats", {}),
+            d.get("content", "data"),
+        )
 
 
 @dataclass

@@ -115,12 +115,24 @@ class LakeTable:
         out: list[DataFile] = []
         for mf in self.manifests(snapshot_id):
             for f in mf.files:
+                if f.content != "data":
+                    continue  # delete sidecars plan via delete_files()
                 if partition_filter and any(f.partition.get(k) != v for k, v in partition_filter.items()):
                     continue
                 if stat_filter and not stat_filter(f):
                     continue
                 out.append(f)
         return out
+
+    def delete_files(self, snapshot_id: int | None = None) -> list[DataFile]:
+        """Positional delete sidecars live at ``snapshot_id`` (merge-on-read
+        tier, Iceberg content=DELETES manifest entries)."""
+        return [
+            f
+            for mf in self.manifests(snapshot_id)
+            for f in mf.files
+            if f.content == "deletes"
+        ]
 
     def read(
         self,
@@ -135,13 +147,51 @@ class LakeTable:
                 raise ValueError("pass either snapshot_id or branch, not both")
             snapshot_id = self.branch_head(branch)
         files = self.files(snapshot_id, partition_filter, stat_filter)
-        return self.read_files(spark, files)
+        return self.read_files(spark, files, delete_files=self.delete_files(snapshot_id))
 
-    def read_files(self, spark: SparkSession, files: list[DataFile]) -> DataFrame:
+    def read_files(
+        self,
+        spark: SparkSession,
+        files: list[DataFile],
+        delete_files: list[DataFile] | None = None,
+    ) -> DataFrame:
+        """Scan a planned file list, APPLYING the merge-on-read delete
+        sidecars: rows matching a (file, position) delete entry are
+        anti-joined out via the parquet ``_metadata`` row-index column.
+        ``delete_files=None`` uses the current snapshot's sidecars (so every
+        consumer — queries, MERGE sources, compaction rewrites — sees
+        post-delete data and rewrites bake deletes in); pass ``[]`` to read
+        raw. With no sidecars the plan is the plain scan, unchanged.
+
+        Sidecars key on the data file's BASENAME (uuid-unique within the
+        table) + row index, sidestepping path-scheme normalization. The
+        anti-join build side is the delete set — broadcast, because the MoR
+        tier is for deletes small enough that rewriting a 512MB file per row
+        would be absurd write amplification; bulk deletes take the CoW path
+        and compaction folds sidecars away (maintenance.full_optimize)."""
         if not files:
             return spark.createDataFrame([], self.schema)
         paths = [os.path.join(self.root, f.path) for f in files]
-        return spark.read.schema(self.schema).parquet(*paths)
+        src = spark.read.schema(self.schema).parquet(*paths)
+        dels = self.delete_files() if delete_files is None else delete_files
+        if not dels:
+            return src
+        from pyspark.sql import functions as F
+
+        del_paths = [os.path.join(self.root, f.path) for f in dels]
+        ddf = (
+            spark.read.parquet(*del_paths)
+            .select(F.col("file_name").alias("_dfile"), F.col("pos").alias("_dpos"))
+        )
+        tagged = src.select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_dfile"),
+            F.col("_metadata.row_index").alias("_dpos"),
+        )
+        return (
+            tagged.join(F.broadcast(ddf), ["_dfile", "_dpos"], "left_anti")
+            .drop("_dfile", "_dpos")
+        )
 
     def incremental_files(self, from_snapshot_id: int, to_snapshot_id: int | None = None) -> list[DataFile]:
         """Data files ADDED strictly after ``from_snapshot_id`` and live at
@@ -596,8 +646,25 @@ class LakeTable:
         predicate,
         prune_partition_filter: dict[str, str] | None = None,
         prune_stat_filter: Callable[[DataFile], bool] | None = None,
+        mode: str = "cow",
     ) -> Snapshot | None:
-        """Copy-on-write DELETE: rewrite only files containing matching rows.
+        """DELETE by predicate, copy-on-write (default) or merge-on-read.
+
+        ``mode="mor"`` (Iceberg v2 positional deletes, round-3 verdict ask
+        #8): instead of rewriting every hit file, commit a tiny sidecar of
+        (file basename, row position) entries; readers anti-join it out at
+        scan time and compaction folds it away. WRITE AMPLIFICATION: CoW
+        rewrites the whole file per hit — deleting 1 row from a 512MB file
+        writes 512MB; MoR writes ~16 bytes per deleted row regardless of
+        file size (the bound tests/test_delete_and_schema.py pins). Use MoR
+        for frequent point/small deletes, CoW for bulk predicate deletes
+        where the read-side anti-join would carry a big broadcast.
+        Concurrency: the MoR commit re-validates that every referenced data
+        file is still live (a racing compaction would otherwise bake the
+        rows back in) and raises CommitConflict to re-plan, the same
+        contract as Iceberg's positional-delete validation.
+
+        Copy-on-write: rewrite only files containing matching rows.
 
         ``predicate`` is a Column. File selection prunes METADATA-FIRST —
         ``prune_partition_filter`` / ``prune_stat_filter`` (e.g.
@@ -621,23 +688,95 @@ class LakeTable:
         """
         from pyspark.sql import functions as F
 
+        if mode not in ("cow", "mor"):
+            raise ValueError(f"delete_where: unknown mode {mode!r} ('cow' or 'mor')")
         pred_true = F.coalesce(predicate.cast("boolean"), F.lit(False))
         files = self.files(
             partition_filter=prune_partition_filter, stat_filter=prune_stat_filter
         )
         if not files:
             return None
-        src = self.read_files(spark, files).withColumn("_file", F.input_file_name())
-        hit_files = [r["_file"] for r in src.filter(pred_true).select("_file").distinct().collect()]
-        if not hit_files:
-            return None
-        hit_rel = [os.path.relpath(_strip_scheme(p), self.root) for p in hit_files]
-        keep_df = (
-            spark.read.schema(self.schema).parquet(*[_strip_scheme(p) for p in hit_files])
-            .filter(~pred_true)
+        # position-tagged scan of still-LIVE rows (pending sidecar entries
+        # anti-joined out): both modes confirm hits on it, so neither can
+        # re-delete or resurrect a row another sidecar already removed
+        paths = [os.path.join(self.root, f.path) for f in files]
+        tagged = spark.read.schema(self.schema).parquet(*paths).select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_dfile"),
+            F.col("_metadata.row_index").alias("_dpos"),
         )
+        existing = self.delete_files()
+        if existing:
+            ddf = spark.read.parquet(*[os.path.join(self.root, f.path) for f in existing]).select(
+                F.col("file_name").alias("_dfile"), F.col("pos").alias("_dpos")
+            )
+            tagged = tagged.join(F.broadcast(ddf), ["_dfile", "_dpos"], "left_anti")
+        if mode == "mor":
+            hits = tagged.filter(pred_true).select(
+                F.col("_dfile").alias("file_name"), F.col("_dpos").cast("long").alias("pos")
+            )
+            added = self._write_delete_sidecar(hits)
+            if not added:
+                return None
+            basename_to_rel = {os.path.basename(f.path): f.path for f in files}
+            touched = self._sidecar_file_names(added)
+            return self._commit(
+                "delete", added=added, replaced=[],
+                summary={"mor-delete-entries": sum(f.records for f in added)},
+                require_live=[basename_to_rel[b] for b in touched if b in basename_to_rel],
+            )
+        hit_names = [
+            r["_dfile"] for r in tagged.filter(pred_true).select("_dfile").distinct().collect()
+        ]
+        if not hit_names:
+            return None
+        by_name = {os.path.basename(f.path): f for f in files}
+        hit_dfs = [by_name[n] for n in hit_names]
+        # read_files (not a raw scan) so pending MoR sidecar entries on the
+        # hit files are baked into the rewrite instead of resurrected
+        keep_df = self.read_files(spark, hit_dfs).filter(~pred_true)
         added = self._write_datafiles(keep_df)
-        return self._commit("delete", added=added, replaced=hit_rel)
+        return self._commit("delete", added=added, replaced=[f.path for f in hit_dfs])
+
+    def _write_delete_sidecar(self, hits: DataFrame) -> list[DataFile]:
+        """Write (file_name, pos) delete entries as ONE parquet sidecar under
+        data/_deletes/ and return its manifest entry (content="deletes").
+        coalesce(1): the MoR tier is for small deletes — a 1M-entry GDPR
+        batch is still a ~16MB single file."""
+        staging = os.path.join(self.root, "_tmp", uuid.uuid4().hex)
+        hits.coalesce(1).write.mode("overwrite").parquet(staging)
+        out: list[DataFile] = []
+        del_dir = os.path.join("data", "_deletes")
+        os.makedirs(os.path.join(self.root, del_dir), exist_ok=True)
+        for name in os.listdir(staging):
+            if not name.endswith(".parquet"):
+                continue
+            rel = os.path.join(del_dir, f"{uuid.uuid4().hex}.parquet")
+            os.rename(os.path.join(staging, name), os.path.join(self.root, rel))
+            import pyarrow.parquet as _pq
+
+            md = _pq.ParquetFile(os.path.join(self.root, rel)).metadata
+            if md.num_rows == 0:
+                os.unlink(os.path.join(self.root, rel))
+                continue
+            out.append(DataFile(
+                path=rel, partition={}, records=md.num_rows,
+                bytes=os.path.getsize(os.path.join(self.root, rel)),
+                content="deletes",
+            ))
+        shutil.rmtree(staging, ignore_errors=True)
+        return out
+
+    def _sidecar_file_names(self, sidecars: list[DataFile]) -> set[str]:
+        """Distinct data-file basenames referenced by delete sidecars
+        (driver-side pyarrow read — sidecars are small by design)."""
+        import pyarrow.parquet as _pq
+
+        names: set[str] = set()
+        for f in sidecars:
+            tbl = _pq.read_table(os.path.join(self.root, f.path), columns=["file_name"])
+            names.update(tbl.column("file_name").to_pylist())
+        return names
 
     # ------------------------------------------------------------------ commit
     def _commit(
@@ -648,8 +787,14 @@ class LakeTable:
         summary: dict | None = None,
         max_retries: int = 20,
         branch: str | None = None,
+        require_live: list[str] | None = None,
     ) -> Snapshot:
         """Optimistic commit: retried against fresh metadata on version races.
+
+        ``require_live``: paths that must still be live data files in the
+        parent snapshot for the commit to be valid (positional-delete
+        validation — a sidecar referencing a file a racing compaction just
+        replaced must conflict, not silently resurrect rows).
 
         Appends never conflict. Replaces conflict iff a replaced file is no
         longer live in the latest snapshot (someone else rewrote it) —
@@ -691,6 +836,19 @@ class LakeTable:
                     )
             else:
                 new_manifests = list(parent_manifests)
+            if require_live:
+                live_now = {
+                    f.path
+                    for rel in parent_manifests
+                    for f in read_manifest(self.root, rel).files
+                    if f.content == "data"
+                }
+                gone = [p for p in require_live if p not in live_now]
+                if gone:
+                    raise CommitConflict(
+                        f"{operation}: {len(gone)} referenced data file(s) were replaced "
+                        f"concurrently, e.g. {gone[:3]} — re-plan against fresh metadata"
+                    )
             if added_manifest:
                 new_manifests.append(added_manifest)
 

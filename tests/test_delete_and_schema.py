@@ -58,6 +58,93 @@ def test_delete_where_null_predicate_keeps_rows(spark, tmp_table_dir):
     assert got.filter("n_tok is null").count() == n_null
 
 
+def test_mor_delete_writes_sidecar_not_files(spark, tmp_table_dir):
+    """Merge-on-read point delete (round-3 verdict ask #8): a 1-row delete
+    must NOT rewrite any data file — it commits a tiny positional sidecar,
+    readers anti-join it out, and time travel still sees the row."""
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=2000, small_files=8)
+    pre_rows = t.read(spark).count()
+    pre_snapshot = t.meta.current_snapshot_id
+    data_before = {f.path for f in t.files()}
+    victim = t.read(spark).select("doc_id").first()["doc_id"]
+
+    snap = t.delete_where(spark, F.col("doc_id") == victim, mode="mor")
+    assert snap is not None and snap.operation == "delete"
+    # zero data files rewritten — the whole point of the tier
+    assert {f.path for f in t.files()} == data_before
+    sidecars = t.delete_files()
+    assert len(sidecars) == 1 and sidecars[0].records == 1
+    # write amplification bound: the sidecar is KBs, not a file rewrite
+    assert sidecars[0].bytes < 64 * 1024
+    got = t.read(spark)
+    assert got.count() == pre_rows - 1
+    assert got.filter(F.col("doc_id") == victim).count() == 0
+    # time travel to the pre-delete snapshot resurrects the row
+    assert t.read(spark, snapshot_id=pre_snapshot).filter(
+        F.col("doc_id") == victim
+    ).count() == 1
+    # no-match MoR delete is a no-op (no empty sidecar committed)
+    v = t.meta.version
+    assert t.delete_where(spark, F.col("n_tok") > 10_000_000, mode="mor") is None
+    assert t.meta.version == v
+
+
+def test_mor_deletes_baked_in_by_compaction_then_pruned(spark, tmp_table_dir):
+    """Compaction reads through the sidecars (rewrites bake deletes in) and
+    maintenance prunes the then-dangling sidecars; CoW deletes over a table
+    with pending MoR deletes must not resurrect them either."""
+    from octocode_spark.lakehouse.maintenance import (
+        plan_compaction,
+        prune_dangling_delete_sidecars,
+        rewrite_partitions,
+    )
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=1500, small_files=8)
+    victims = [r["doc_id"] for r in t.read(spark).select("doc_id").limit(3).collect()]
+    for v in victims:
+        t.delete_where(spark, F.col("doc_id") == v, mode="mor")
+    assert len(t.delete_files()) == 3
+    expect = t.read(spark).count()
+
+    # CoW delete on top of pending MoR deletes: rewritten files keep them out
+    cow_victim = (
+        t.read(spark).filter(~F.col("doc_id").isin(victims)).select("doc_id").first()["doc_id"]
+    )
+    t.delete_where(spark, F.col("doc_id") == cow_victim)  # cow
+    expect -= 1
+    assert t.read(spark).count() == expect
+    assert t.read(spark).filter(F.col("doc_id").isin(victims)).count() == 0
+
+    rewrite_partitions(spark, t, plan_compaction(t, target_file_size=1 << 30))
+    assert t.read(spark).count() == expect
+    assert t.read(spark).filter(F.col("doc_id").isin(victims)).count() == 0
+
+    snap = prune_dangling_delete_sidecars(t)
+    # every victim's file got rewritten, so all fully-dangling sidecars drop
+    assert snap is not None
+    assert t.delete_files() == []
+    assert t.read(spark).count() == expect
+
+
+def test_mor_delete_conflicts_with_concurrent_rewrite(spark, tmp_table_dir):
+    """Positional-delete validation: committing a sidecar whose referenced
+    data file was replaced by a racing compaction must raise CommitConflict,
+    never silently resurrect rows (Iceberg's validateDataFilesExist)."""
+    from octocode_spark.lakehouse.maintenance import plan_compaction, rewrite_partitions
+    from octocode_spark.lakehouse.table import CommitConflict
+
+    t_stale = make_sequences_table(spark, tmp_table_dir, n_rows=800, small_files=6)
+    victim = t_stale.read(spark).select("doc_id").first()["doc_id"]
+    # a second handle compacts everything (replaces all data files)...
+    t_other = LakeTable.load(tmp_table_dir)
+    rewrite_partitions(
+        spark, t_other, plan_compaction(t_other, target_file_size=1 << 30, force=True)
+    )
+    # ...then the stale handle's MoR delete plans against dead files
+    with pytest.raises(CommitConflict, match="replaced concurrently"):
+        t_stale.delete_where(spark, F.col("doc_id") == victim, mode="mor")
+
+
 def test_overwrite_rejects_schema_drift(spark, tmp_table_dir):
     t = make_sequences_table(spark, tmp_table_dir, n_rows=200, small_files=2)
     bad = sequences(spark, 50, max_tok_cap=64).withColumn("extra", F.lit(1))
