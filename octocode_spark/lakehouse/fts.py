@@ -110,24 +110,40 @@ def _apply_term_delta(
     duplicate count, one tiny stat-pruned read)."""
     from octocode_spark.lakehouse.merge import merge_into
 
-    delta = term_stats_delta(docs, text_col)
-    # manifest range prune: files whose [min,max] term range can't touch the
-    # batch's vocabulary range contribute no _old values
-    bounds = delta.agg(F.min("term"), F.max("term")).first()
-    lo, hi = bounds[0], bounds[1]
+    # cache: the delta aggregate feeds both the bounds action and the MERGE
+    # source materialization — without it the tokenize+agg runs twice
+    delta = term_stats_delta(docs, text_col).cache()
+    try:
+        # manifest range prune over the REAL vocabulary only: the reserved
+        # '#docs'/'#sumdl' keys sort before every real term, so including
+        # them pins the lower bound to '#docs' and the prune only ever cuts
+        # files entirely ABOVE the batch's max term. Files holding the
+        # reserved rows are kept by explicit point checks instead.
+        bounds = (
+            delta.filter(~F.col("term").isin(N_DOCS_KEY, SUM_DL_KEY))
+            .agg(F.min("term"), F.max("term"))
+            .first()
+        )
+        lo, hi = bounds[0], bounds[1]
 
-    def _overlaps(f):
-        rng = f.stats.get("term")
-        return not rng or (rng[0] <= hi and lo <= rng[1])
+        def _overlaps(f):
+            if _stat_contains(f, N_DOCS_KEY) or _stat_contains(f, SUM_DL_KEY):
+                return True  # reserved rows always join
+            rng = f.stats.get("term")
+            if not rng:
+                return True
+            return lo is not None and rng[0] <= hi and lo <= rng[1]
 
-    current = stats.read(spark, stat_filter=_overlaps).withColumnRenamed("df", "_old")
-    summed = delta.join(current, "term", "left").select(
-        "term",
-        (F.coalesce(F.col("_old"), F.lit(0)) + F.lit(sign) * F.col("df")).alias("df"),
-    )
-    if sign < 0:
-        summed = summed.withColumn("deleted", F.col("df") <= 0)
-    merge_into(spark, stats, summed, key="term")
+        current = stats.read(spark, stat_filter=_overlaps).withColumnRenamed("df", "_old")
+        summed = delta.join(current, "term", "left").select(
+            "term",
+            (F.coalesce(F.col("_old"), F.lit(0)) + F.lit(sign) * F.col("df")).alias("df"),
+        )
+        if sign < 0:
+            summed = summed.withColumn("deleted", F.col("df") <= 0)
+        merge_into(spark, stats, summed, key="term")
+    finally:
+        delta.unpersist()
     n_docs_rows = (
         stats.refresh().read(spark, stat_filter=lambda f: _stat_contains(f, N_DOCS_KEY))
         .filter(F.col("term") == N_DOCS_KEY)

@@ -357,12 +357,16 @@ def cosine_near_pairs(
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     num_planes: int = 8,
+    dim: int | None = None,
 ) -> DataFrame:
     """Embedding near-dup pairs: LSH-bucket equi-join (same signature) →
     exact cosine ≥ threshold. At 8 planes, vectors above ~0.95 cosine share
-    a bucket with high probability; raise recall with fewer planes."""
-    first = vectors.select(vec_col).first()
-    dim = len(first[vec_col])
+    a bucket with high probability; raise recall with fewer planes.
+
+    Pass ``dim`` to keep the plan fully lazy — without it, a driver-side
+    first() probes one row for the vector length before planning."""
+    if dim is None:
+        dim = len(vectors.select(vec_col).first()[vec_col])
     sigged = vectors.select(
         F.col(id_col), F.col(vec_col), lsh_signature(vec_col, dim, num_planes).alias("_sig")
     )

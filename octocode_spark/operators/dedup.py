@@ -229,6 +229,7 @@ def decontaminate(
     text_col: str = "text",
     id_col: str = "doc_id",
     bench_text_col: str = "text",
+    broadcast_benchmark: bool = False,
 ) -> DataFrame:
     """Drop training documents sharing ANY word ``n``-gram with a held-out
     benchmark set — the test-set contamination filter every serious
@@ -237,14 +238,19 @@ def decontaminate(
 
     Shape: both sides explode to hashed n-gram shingles; contaminated ids =
     semi-join docs-shingles ⋉ benchmark-shingles (8-byte keys); survivors =
-    docs anti-join contaminated. The benchmark side is tiny relative to the
-    corpus — at cluster scale broadcast its distinct shingle set — and the
-    corpus is touched by exactly one explode+join, never pairwise."""
+    docs anti-join contaminated. The corpus is touched by exactly one
+    explode+join, never pairwise. Join strategy defaults to AQE's runtime
+    choice (it broadcasts a small benchmark side on its own, from MEASURED
+    shuffle sizes); pass ``broadcast_benchmark=True`` only when the
+    benchmark's exploded shingle set is known to fit executor memory — a
+    forced hint on a large held-out set would OOM the broadcast."""
     doc_sh = shingles(docs, text_col, n, id_col=id_col)
     bench_sh = benchmark.select(
         F.explode(shingle_array(F.col(bench_text_col), n)).alias("shingle")
     ).distinct()
-    contaminated = doc_sh.join(F.broadcast(bench_sh), "shingle", "left_semi").select("doc_id").distinct()
+    if broadcast_benchmark:
+        bench_sh = F.broadcast(bench_sh)
+    contaminated = doc_sh.join(bench_sh, "shingle", "left_semi").select("doc_id").distinct()
     return docs.join(contaminated.withColumnRenamed("doc_id", id_col), id_col, "left_anti")
 
 
@@ -278,44 +284,52 @@ def duplicate_groups(pairs: DataFrame, a: str = "a", b: str = "b",
         .withColumn("group_id", F.col("id"))
         .localCheckpoint(eager=True)
     )
-    for _ in range(max_rounds):
-        neigh = edges.join(labels, edges["d"] == labels["id"]).select(
-            F.col("s").alias("id"), "group_id"
-        )
-        # materialize BEFORE the self-join: both jump sides read the same
-        # checkpointed frame (no self-join attribute ambiguity, and the
-        # union+agg runs once, not twice)
-        pulled = (
-            labels.unionByName(neigh)
-            .groupBy("id")
-            .agg(F.min("group_id").alias("group_id"))
-            .localCheckpoint(eager=True)
-        )
-        # pointer jumping: follow my label to ITS label (min of both) —
-        # doubles propagation distance, turning O(diameter) into O(log)
-        of_label = pulled.select(
-            F.col("id").alias("_lid"), F.col("group_id").alias("_lgrp")
-        )
-        new_labels = (
-            pulled.join(of_label, pulled["group_id"] == of_label["_lid"], "left")
-            .select(
-                pulled["id"].alias("id"),
-                F.least(
-                    pulled["group_id"],
-                    F.coalesce(F.col("_lgrp"), pulled["group_id"]),
-                ).alias("group_id"),
+    try:
+        for _ in range(max_rounds):
+            neigh = edges.join(labels, edges["d"] == labels["id"]).select(
+                F.col("s").alias("id"), "group_id"
             )
-            .localCheckpoint(eager=True)
-        )
-        changed = (
-            new_labels.join(labels.withColumnRenamed("group_id", "_old"), "id")
-            .filter(F.col("group_id") != F.col("_old"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
-            return labels
-    raise RuntimeError(f"duplicate_groups did not converge in {max_rounds} rounds")
+            # materialize BEFORE the self-join: both jump sides read the same
+            # checkpointed frame (no self-join attribute ambiguity, and the
+            # union+agg runs once, not twice)
+            pulled = (
+                labels.unionByName(neigh)
+                .groupBy("id")
+                .agg(F.min("group_id").alias("group_id"))
+                .localCheckpoint(eager=True)
+            )
+            # pointer jumping: follow my label to ITS label (min of both) —
+            # doubles propagation distance, turning O(diameter) into O(log)
+            of_label = pulled.select(
+                F.col("id").alias("_lid"), F.col("group_id").alias("_lgrp")
+            )
+            new_labels = (
+                pulled.join(of_label, pulled["group_id"] == of_label["_lid"], "left")
+                .select(
+                    pulled["id"].alias("id"),
+                    F.least(
+                        pulled["group_id"],
+                        F.coalesce(F.col("_lgrp"), pulled["group_id"]),
+                    ).alias("group_id"),
+                )
+                .localCheckpoint(eager=True)
+            )
+            changed = (
+                new_labels.join(labels.withColumnRenamed("group_id", "_old"), "id")
+                .filter(F.col("group_id") != F.col("_old"))
+                .count()
+            )
+            # free superseded checkpoints (the BFS operators' discipline):
+            # without this, block-manager memory grows linearly with rounds
+            labels.unpersist()
+            pulled.unpersist()
+            labels = new_labels
+            if changed == 0:
+                return labels
+        labels.unpersist()
+        raise RuntimeError(f"duplicate_groups did not converge in {max_rounds} rounds")
+    finally:
+        edges.unpersist()
 
 
 def dedup_fuzzy(docs: DataFrame, pairs: DataFrame, id_col: str = "doc_id") -> DataFrame:

@@ -37,6 +37,21 @@ def k_hop_neighbors(edges: DataFrame, seeds: DataFrame, k: int = 2,
     return visited
 
 
+def _hashable_type(dt) -> bool:
+    """True when Spark's hash/xxhash64 accepts the type: MapType is
+    rejected (element order is undefined), including maps nested inside
+    arrays/structs."""
+    from pyspark.sql import types as T
+
+    if isinstance(dt, T.MapType):
+        return False
+    if isinstance(dt, T.ArrayType):
+        return _hashable_type(dt.elementType)
+    if isinstance(dt, T.StructType):
+        return all(_hashable_type(f.dataType) for f in dt.fields)
+    return True
+
+
 def _rel_filtered(
     edges: DataFrame, rel_type: str | None, node: str | None, direction: str,
     src: str, dst: str, type_col: str,
@@ -121,8 +136,15 @@ def relationships_by_type(
     filtered = _rel_filtered(edges, rel_type, node, direction, src, dst, type_col)
     # deterministic total order even on multigraphs: parallel same-typed
     # edges (distinct payloads) tie on the triple, so a content-hash of the
-    # full row breaks the tie identically on every run/partitioning
-    row_tie = F.xxhash64(*[F.col(c) for c in filtered.columns])
+    # row breaks the tie identically on every run/partitioning. Restricted
+    # to HASHABLE columns — Spark's hash rejects MapType (and maps nested
+    # in arrays/structs); an edge payload carrying one would fail where the
+    # old row_number implementation worked. Parallel edges differing ONLY
+    # in an unhashable column still get a stable (if arbitrary-but-fixed)
+    # relative order from the hashable remainder.
+    hashable = [c for c, f in zip(filtered.columns, filtered.schema.fields)
+                if _hashable_type(f.dataType)]
+    row_tie = F.xxhash64(*[F.col(c) for c in hashable])
     sliced = (
         filtered
         .orderBy(F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc(), row_tie.asc())
@@ -131,7 +153,7 @@ def relationships_by_type(
     )
     w = Window.orderBy(
         F.col(src).asc(), F.col(dst).asc(), F.col(type_col).asc(),
-        F.xxhash64(*[F.col(c) for c in sliced.columns]).asc(),
+        F.xxhash64(*[F.col(c) for c in hashable]).asc(),
     )
     return sliced.withColumn("rn", F.row_number().over(w) + F.lit(lo))
 

@@ -1728,7 +1728,9 @@ def q30(spark: SparkSession, sf: str) -> DataFrame:
     BOTH the bucket assignment and the verification — not just recall."""
     from octocode_spark.operators.ann import cosine_near_pairs
 
-    return cosine_near_pairs(_t(spark, sf, "embeddings"), threshold=0.3, num_planes=4).orderBy("a", "b")
+    return cosine_near_pairs(
+        _t(spark, sf, "embeddings"), threshold=0.3, num_planes=4, dim=64
+    ).orderBy("a", "b")
 
 
 @_q("q51_bm25_indexed", _ORACLES["q41_bm25_topk"])

@@ -2,7 +2,11 @@
 on Spark and its oracle_sql() on DuckDB at sf0.01, compare row count, column
 names, and an order-insensitive value hash.
 
-Usage: python tools/check_oracle.py [query_name ...]
+Usage: python tools/check_oracle.py [--strict] [query_name ...]
+
+--strict: a query with NO oracle_sql() entry FAILS unless it is on the
+known rows-only allow-list below — so an accidentally dropped oracle can't
+silently downgrade a query to the weaker rows-only check.
 """
 
 from __future__ import annotations
@@ -18,6 +22,15 @@ sys.path.insert(0, "/root/repo")
 SF_DIR = "/root/testdata/sf0.01"
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineitem",
           "events", "documents", "embeddings"]
+
+# the only queries ALLOWED to lack a DuckDB oracle (all xxhash64-bound —
+# DuckDB has no xxhash64, so only the weaker rows-only driver check applies)
+ROWS_ONLY_ALLOWED = {
+    "q25_cluster_keys",
+    "q26_minhash_signatures",
+    "q27_simhash_values",
+    "q40_ivf_ann_topk",
+}
 
 
 def norm_cell(v):
@@ -50,7 +63,9 @@ def main():
     from octocode_spark import get_spark
     from octocode_spark.queries import oracle_sql, queries
 
-    only = set(sys.argv[1:])
+    argv = sys.argv[1:]
+    strict = "--strict" in argv
+    only = {a for a in argv if not a.startswith("--")}
     spark = get_spark(app="oracle-check", cpus=16, shuffle_partitions=16)
     spark.sparkContext.setLogLevel("ERROR")
     con = duckdb.connect()
@@ -71,7 +86,12 @@ def main():
             failures += 1
             continue
         if name not in oracles:
-            print(f"ok(rows-only) {name}: {len(srows)} rows, cols={scols}")
+            if strict and name not in ROWS_ONLY_ALLOWED:
+                print(f"FAIL {name}: no oracle_sql() entry and not on the "
+                      "rows-only allow-list (--strict)")
+                failures += 1
+            else:
+                print(f"ok(rows-only) {name}: {len(srows)} rows, cols={scols}")
             continue
         try:
             rel = con.sql(oracles[name])

@@ -66,9 +66,15 @@ def main() -> None:
     # also covers launch modes where --py-files reached only the driver
     import tempfile
 
-    zpath = os.path.join(tempfile.gettempdir(), "octocode_spark_submit.zip")
-    make_zip(zpath)
-    spark.sparkContext.addPyFile(zpath)
+    # unique per invocation: a fixed shared-temp path lets two concurrent
+    # jobs (or users) race on the same zip — a torn file could be shipped
+    fd, zpath = tempfile.mkstemp(prefix="octocode_spark_submit_", suffix=".zip")
+    os.close(fd)
+    try:
+        make_zip(zpath)
+        spark.sparkContext.addPyFile(zpath)  # copies into Spark's file dir
+    finally:
+        os.unlink(zpath)
     from octocode_spark.lakehouse import LakeTable, Ledger
     from octocode_spark.lakehouse.maintenance import full_maintenance
 
