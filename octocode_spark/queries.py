@@ -2025,6 +2025,69 @@ def q58(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_q(
+    "q59_rq1_hamming_topk",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0)
+    SELECT e.vec_id,
+           CAST(len(list_filter(generate_series(1, 64),
+                    i -> (e.embedding[i] >= 0) != (q.qv[i] >= 0))) AS INT) AS hamming
+    FROM embeddings e, q
+    ORDER BY hamming ASC, vec_id ASC
+    LIMIT 50
+    """,
+)
+def q59(spark: SparkSession, sf: str) -> DataFrame:
+    """rq1 binary-quantization kernel: top-50 by Hamming distance between
+    packed sign codes (xor + bit_count over ceil(dim/64) longs) and the
+    query's driver-computed code. The oracle computes the SAME distance as
+    a per-dimension sign-mismatch count — no bit packing — so the packing,
+    the signed bit-63 handling, and the popcount sum are all cross-checked
+    value-exactly (reference's RaBitQ tier, vector_optimizer.rs:26-36)."""
+    from octocode_spark.operators.ann import rq1_code_col, rq1_hamming, rq1_query_code
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    hm = rq1_hamming(rq1_code_col("embedding", len(qv)), rq1_query_code(qv))
+    return (
+        e.select("vec_id", hm.alias("hamming"))
+        .orderBy(F.col("hamming").asc(), F.col("vec_id").asc())
+        .limit(50)
+    )
+
+
+@_q(
+    "q60_mor_delete_read",
+    """
+    SELECT doc_id, n_chars FROM documents
+    WHERE NOT (doc_id % 7 = 3) AND NOT (doc_id % 11 = 5)
+    ORDER BY doc_id
+    """,
+)
+def q60(spark: SparkSession, sf: str) -> DataFrame:
+    """Merge-on-read delete lifecycle, end to end: documents land in a
+    LakeTable, two point-delete predicates commit positional sidecars (NO
+    data file is rewritten), and the read path anti-joins both sidecars out
+    via the parquet _metadata row index. The oracle is plain ANSI SQL over
+    the source table, so the whole sidecar plumbing must reproduce exact
+    DELETE semantics (Iceberg v2 positional deletes)."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from octocode_spark.lakehouse import LakeTable
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="q60_mor_")
+    atexit.register(shutil.rmtree, tmp, True)
+    t = LakeTable.create(tmp + "/docs", d.schema, stat_cols=["doc_id"])
+    t.append(d.repartition(4))
+    t.delete_where(spark, F.col("doc_id") % 7 == 3, mode="mor")
+    t.delete_where(spark, F.col("doc_id") % 11 == 5, mode="mor")
+    assert len(t.delete_files()) == 2 and t.files(), "expected sidecars, no rewrites"
+    return t.read(spark).orderBy("doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
