@@ -67,14 +67,16 @@ def main() -> None:
     import tempfile
 
     # unique per invocation: a fixed shared-temp path lets two concurrent
-    # jobs (or users) race on the same zip — a torn file could be shipped
+    # jobs (or users) race on the same zip — a torn file could be shipped.
+    # The file must OUTLIVE addPyFile: executors fetch lazily at first task
+    # and re-verify against the source path, so cleanup waits for exit.
+    import atexit
+
     fd, zpath = tempfile.mkstemp(prefix="octocode_spark_submit_", suffix=".zip")
     os.close(fd)
-    try:
-        make_zip(zpath)
-        spark.sparkContext.addPyFile(zpath)  # copies into Spark's file dir
-    finally:
-        os.unlink(zpath)
+    atexit.register(lambda: os.path.exists(zpath) and os.unlink(zpath))
+    make_zip(zpath)
+    spark.sparkContext.addPyFile(zpath)
     from octocode_spark.lakehouse import LakeTable, Ledger
     from octocode_spark.lakehouse.maintenance import full_maintenance
 
