@@ -325,7 +325,11 @@ class LakeTable:
         t_h0 = time.monotonic()
         if len(moved) >= self.HARVEST_DISTRIBUTED_MIN:
             sc = df.sparkSession.sparkContext
-            slices = min(len(moved), sc.defaultParallelism * 2)
+            # ≥16 footers per task: a footer stat is ~ms, so one task per
+            # file would pay more scheduling than IO (measured 1.25s for
+            # 110 files at 64 slices; ~0.5s batched). Caps at 2× cluster
+            # parallelism for the 10^5-file case.
+            slices = max(1, min(sc.defaultParallelism * 2, len(moved) // 16))
             payloads = sc.parallelize(moved, numSlices=slices).map(harvest_one).collect()
         else:
             payloads = [harvest_one(mp) for mp in moved]

@@ -46,6 +46,19 @@ def get_spark(
         # files.maxPartitionBytes kept at default 128MB: at 100TB that yields
         # ~800k input splits — fine for a 1000-executor cluster; locally the
         # AQE coalesce folds tiny splits back together.
+        #
+        # LakeTable plans scans as EXPLICIT file lists (manifests), so
+        # spark.read.parquet(*1152 paths) only needs a stat per path — on a
+        # local filesystem that is microseconds, but above the default
+        # threshold (32 paths) Spark launches a parallel LISTING JOB whose
+        # scheduling overhead is a fixed ~2.3s serial prologue on every
+        # maintenance rewrite (measured; driver-side listing of the same
+        # 1152 tmpfs paths is 0.27s). Local sessions therefore list on the
+        # driver up to 1M paths. A remote-object-store cluster deployment
+        # should lower this back (S3 round-trips per stat) — its
+        # spark-submit conf wins over this factory, which only builds
+        # local[*] sessions.
+        .config("spark.sql.sources.parallelPartitionDiscovery.threshold", "1000000")
     )
     if extra_conf:
         for k, v in extra_conf.items():
