@@ -126,6 +126,34 @@ def test_mor_deletes_baked_in_by_compaction_then_pruned(spark, tmp_table_dir):
     assert t.read(spark).count() == expect
 
 
+def test_partially_dangling_sidecar_survives_prune(spark, tmp_table_dir):
+    """A sidecar referencing rows in TWO files, only one of which gets
+    rewritten, must survive the prune (its live entries still apply) and
+    keep excluding its rows."""
+    from octocode_spark.lakehouse.maintenance import prune_dangling_delete_sidecars
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=1200, small_files=6)
+    # one MoR delete whose predicate spans many files -> one sidecar, many refs
+    snap = t.delete_where(spark, F.col("n_tok") % 10 == 4, mode="mor")
+    assert snap is not None and len(t.delete_files()) == 1
+    touched = t._sidecar_file_names(t.delete_files())
+    assert len(touched) > 1
+    expect = t.read(spark).count()
+
+    # rewrite exactly ONE of the referenced files (CoW delete of one row in it)
+    by_name = {__import__("os").path.basename(f.path): f for f in t.files()}
+    one = by_name[sorted(touched)[0]]
+    # pick a row in that file NOT already MoR-deleted
+    live_in_file = t.read_files(spark, [one]).select("doc_id").first()["doc_id"]
+    t.delete_where(spark, F.col("doc_id") == live_in_file)  # cow: rewrites `one` only
+    expect -= 1
+
+    assert prune_dangling_delete_sidecars(t) is None  # partially live -> kept
+    assert len(t.delete_files()) == 1
+    assert t.read(spark).count() == expect
+    assert t.read(spark).filter(F.col("n_tok") % 10 == 4).count() == 0
+
+
 def test_mor_delete_conflicts_with_concurrent_rewrite(spark, tmp_table_dir):
     """Positional-delete validation: committing a sidecar whose referenced
     data file was replaced by a racing compaction must raise CommitConflict,
