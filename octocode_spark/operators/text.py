@@ -133,6 +133,55 @@ def stratified_sample_expr(
     return pred
 
 
+def temperature_mixing_fractions(
+    counts: dict[str, int], alpha: float, target_rows: int
+) -> dict[str, float]:
+    """Per-source keep fractions for TEMPERATURE-based domain mixing — the
+    standard pretraining mixture reweighting (sample source i with
+    probability p_i ∝ n_i^α, published across the multilingual/domain-mix
+    LM literature): α=1 keeps natural proportions, α→0 approaches uniform
+    over sources (up-samples tail domains), α∈(0,1) interpolates. The keep
+    fraction is r_i = min(1, target·p_i/n_i); the clamp mass is NOT
+    redistributed (no upsampling-with-replacement), so the realized total
+    can fall below target_rows when a tail source saturates — deliberate:
+    every fraction stays a pure function of (counts, α, target), which is
+    what makes the sample reproducible on any engine.
+
+    DETERMINISM: weights are summed over sorted source names so the float
+    accumulation order — and therefore every derived threshold — is
+    identical across processes/engines regardless of dict/collect order."""
+    if not counts:
+        return {}
+    w = {s: float(c) ** alpha for s, c in counts.items()}
+    z = 0.0
+    for s in sorted(w):
+        z += w[s]
+    return {s: min(1.0, target_rows * (w[s] / z) / counts[s]) for s in counts}
+
+
+def temperature_sample(
+    docs,
+    alpha: float,
+    target_rows: int,
+    source_col: str = "source",
+    id_col: str = "doc_id",
+):
+    """Deterministic temperature-mixed sample: one tiny counts aggregate
+    (groupBy source — source cardinality is dozens, driver-safe), fractions
+    from temperature_mixing_fractions, rows kept by the md5-bucket stratified
+    predicate. Same rows survive at any parallelism."""
+    from pyspark.sql import functions as F
+
+    counts = {
+        r[source_col]: r["cnt"]
+        for r in docs.groupBy(source_col).agg(F.count(F.lit(1)).alias("cnt")).collect()
+    }
+    fractions = temperature_mixing_fractions(counts, alpha, target_rows)
+    return docs.filter(
+        stratified_sample_expr(F.col(source_col), fractions, F.col(id_col))
+    )
+
+
 # PII patterns: deliberately simple, engine-portable regexes (both Spark and
 # DuckDB use leftmost, non-overlapping matching for these constructs)
 _PII_PATTERNS = [

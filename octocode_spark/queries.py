@@ -2088,6 +2088,53 @@ def q60(spark: SparkSession, sf: str) -> DataFrame:
     return t.read(spark).orderBy("doc_id")
 
 
+def _q61_oracle(alpha: float = 0.5, target: int = 200) -> str:
+    """q61's oracle folds the per-source integer thresholds as literals (the
+    q30/q29 constant-folding trick): the fractions are computed ONCE in
+    python from the source counts (pyarrow read of the fixed sf0.01 oracle
+    dataset — the driver's correctness gate always runs at sf0.01), with a
+    sorted-order float accumulation shared with the Spark path, so both
+    engines test the identical thresholds and the oracle checks the md5
+    bucketing + routing plumbing end-to-end. Cross-engine pow/sum drift is
+    thereby excluded by construction rather than hoped away."""
+    from collections import Counter
+
+    import pyarrow.parquet as pq
+
+    from octocode_spark.operators.text import temperature_mixing_fractions
+
+    tbl = pq.read_table("/root/testdata/sf0.01/documents.parquet", columns=["source"])
+    counts = Counter(tbl.column("source").to_pylist())
+    fr = temperature_mixing_fractions(dict(counts), alpha, target)
+    arms = "\n       OR ".join(
+        f"(source = '{s}' AND bucket < {int(fr[s] * 1_000_000)})" for s in sorted(fr)
+    )
+    return f"""
+    WITH b AS (
+        SELECT doc_id, source,
+               CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT) % 1000000
+                 AS bucket
+        FROM documents)
+    SELECT doc_id, source FROM b
+    WHERE {arms}
+    ORDER BY doc_id
+    """
+
+
+@_q("q61_temperature_mixing", _q61_oracle())
+def q61(spark: SparkSession, sf: str) -> DataFrame:
+    """Temperature-based domain mixing (α=0.5, target 200 of 500 docs): the
+    pretraining mixture reweighting — p_i ∝ n_i^α up-samples tail sources
+    toward uniform as α→0. Deterministic md5-bucket sampling, so the exact
+    surviving doc_ids are engine-portable and oracle-checked row by row."""
+    from octocode_spark.operators.text import temperature_sample
+
+    d = _t(spark, sf, "documents")
+    return temperature_sample(d, alpha=0.5, target_rows=200).select(
+        "doc_id", "source"
+    ).orderBy("doc_id")
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -520,6 +520,42 @@ def test_hybrid_reranker_injection_seam(spark):
     assert all(r["sources"] >= 2 for r in multi)
 
 
+def test_temperature_mixing_fractions_properties(spark):
+    """α=1 keeps natural proportions; α→0 approaches uniform over sources;
+    fractions clamp at 1; deterministic regardless of dict order; the
+    sampled frame matches a hand-built stratified predicate."""
+    from octocode_spark.operators.text import (
+        stratified_sample_expr,
+        temperature_mixing_fractions,
+        temperature_sample,
+    )
+
+    counts = {"big": 8000, "mid": 1500, "tail": 50}
+    nat = temperature_mixing_fractions(counts, 1.0, 1000)
+    # α=1: expected kept rows per source ∝ n_i → equal fractions
+    assert abs(nat["big"] - nat["mid"]) < 1e-12 and abs(nat["big"] - nat["tail"]) < 1e-12
+    cold = temperature_mixing_fractions(counts, 0.0, 1000)
+    # α=0: equal EXPECTED rows per source (until the clamp), so tail keeps
+    # a much larger fraction than big
+    assert cold["tail"] == 1.0  # 1000/3 > 50 → clamped
+    assert abs(cold["big"] * 8000 - cold["mid"] * 1500) < 1e-6
+    mid_a = temperature_mixing_fractions(counts, 0.5, 1000)
+    assert nat["tail"] < mid_a["tail"] <= cold["tail"]  # cooling up-samples the tail
+    # dict-order invariance (the sorted-sum determinism contract)
+    rev = temperature_mixing_fractions(dict(reversed(list(counts.items()))), 0.5, 1000)
+    assert rev == mid_a
+    assert temperature_mixing_fractions({}, 0.5, 10) == {}
+
+    docs = spark.read.parquet("/root/testdata/sf0.001/documents.parquet")
+    got = temperature_sample(docs, alpha=0.5, target_rows=30)
+    from pyspark.sql import functions as F
+
+    cnts = {r["source"]: r["c"] for r in docs.groupBy("source").agg(F.count(F.lit(1)).alias("c")).collect()}
+    fr = temperature_mixing_fractions(cnts, 0.5, 30)
+    want = docs.filter(stratified_sample_expr(F.col("source"), fr, F.col("doc_id")))
+    assert sorted(r["doc_id"] for r in got.collect()) == sorted(r["doc_id"] for r in want.collect())
+
+
 def test_count_pii_equals_placeholders_emitted(spark):
     """count_pii is DEFINED as the number of placeholders redact_pii emits —
     including adjacency-sensitive cases where a replacement changes what a
