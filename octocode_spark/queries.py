@@ -2135,6 +2135,57 @@ def q61(spark: SparkSession, sf: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
+@_q(
+    "q62_rq1_persisted_search",
+    """
+    WITH q AS (SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0),
+    hm AS (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v,
+               len(list_filter(generate_series(1, 64),
+                   i -> (e.embedding[i] >= 0) != (q.qv[i] >= 0))) AS h
+        FROM embeddings e, q),
+    short AS (SELECT * FROM hm ORDER BY h ASC, vec_id ASC LIMIT 100)
+    SELECT s.vec_id,
+           ROUND(list_dot_product(s.v, q.qv)
+                 / (sqrt(list_dot_product(s.v, s.v)) * sqrt(list_dot_product(q.qv, q.qv))), 6)
+             AS cosine
+    FROM short s, q
+    ORDER BY cosine DESC, vec_id ASC
+    LIMIT 10
+    """,
+)
+def q62(spark: SparkSession, sf: str) -> DataFrame:
+    """FULL persisted rq1 search lifecycle under an exact oracle: build a
+    2-cell spherical IVF index, persist it quantized to 1 bit/dim, reload in
+    a fresh handle, and search with BOTH cells probed — so the k-means
+    layout cancels out and the result is exactly (top-100 by sign-mismatch
+    Hamming, then top-10 by exact cosine re-rank over broadcast-fetched
+    full vectors), which plain SQL can replicate. Covers persist → load →
+    manifest probe → packed-code Hamming → shortlist semi-join → re-rank,
+    all hash-gated."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from octocode_spark.lakehouse.vector_index import (
+        ivf_search_persisted,
+        load_ivf_index,
+        persist_ivf_index,
+    )
+    from octocode_spark.operators.ann import build_ivf_index
+
+    e = _t(spark, sf, "embeddings")
+    qv = [float(x) for x in e.filter("vec_id = 0").first()["embedding"]]
+    index = build_ivf_index(e, n_clusters=2, cache=False)
+    tmp = tempfile.mkdtemp(prefix="q62_rq1_")
+    atexit.register(shutil.rmtree, tmp, True)
+    t = persist_ivf_index(index, tmp + "/rq1", quantize="rq1")
+    return ivf_search_persisted(
+        spark, load_ivf_index(tmp + "/rq1"), qv, k=10, n_probe=2,
+        rerank_vectors=e, shortlist=100,
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 
