@@ -1071,8 +1071,13 @@ class LakeTable:
 
     def rewrite_manifests(self, group_by_partition: bool = True) -> Snapshot | None:
         """Merge the accumulated per-commit manifests into one per partition
-        (or one total), refreshing stats layout — Iceberg rewrite_manifests."""
-        live = self.files()
+        (or one total), refreshing stats layout — Iceberg rewrite_manifests.
+
+        Delete sidecars MUST ride along: files() now yields data files only,
+        and dropping the content="deletes" entries here would silently
+        resurrect MoR-deleted rows (caught by
+        test_rewrite_manifests_preserves_live_sidecars)."""
+        live = self.files() + self.delete_files()
         snap = self.meta.snapshot()
         if snap is None or len(snap.manifests) <= 1:
             return None

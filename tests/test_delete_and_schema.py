@@ -154,6 +154,21 @@ def test_partially_dangling_sidecar_survives_prune(spark, tmp_table_dir):
     assert t.read(spark).filter(F.col("n_tok") % 10 == 4).count() == 0
 
 
+def test_rewrite_manifests_preserves_live_sidecars(spark, tmp_table_dir):
+    """Manifest compaction regroups entries by partition — sidecar entries
+    (content='deletes', empty partition) must survive the regroup and keep
+    applying at read time."""
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=800, small_files=6)
+    victim = t.read(spark).select("doc_id").first()["doc_id"]
+    t.delete_where(spark, F.col("doc_id") == victim, mode="mor")
+    pre = t.read(spark).count()
+    assert t.rewrite_manifests() is not None
+    assert len(t.delete_files()) == 1
+    assert t.delete_files()[0].content == "deletes"
+    assert t.read(spark).count() == pre
+    assert t.read(spark).filter(F.col("doc_id") == victim).count() == 0
+
+
 def test_mor_delete_conflicts_with_concurrent_rewrite(spark, tmp_table_dir):
     """Positional-delete validation: committing a sidecar whose referenced
     data file was replaced by a racing compaction must raise CommitConflict,
