@@ -99,20 +99,37 @@ def merge_into(
     else:
         candidates = []
 
-    # exact confirm: semi-join target rows against source keys, collect file paths
+    # exact confirm: semi-join target rows against source keys, collect file
+    # paths. The scan is position-tagged via _metadata (input_file_name()
+    # rejects multi-source plans once the sidecar anti-join joins in) and
+    # LIVE-row only: a row already MoR-deleted must not mark its file
+    # touched nor survive into the rewrite.
     touched_rel: list[str] = []
     matched_candidates = 0
+    dels = table.delete_files(snapshot_id=table.branch_head(branch) if branch else None)
     if candidates:
-        tgt = table.read_files(spark, candidates).withColumn("_file", F.input_file_name())
+        tgt = spark.read.schema(table.schema).parquet(
+            *[os.path.join(table.root, f.path) for f in candidates]
+        ).select(
+            "*",
+            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_dfile"),
+            F.col("_metadata.row_index").alias("_dpos"),
+        )
+        if dels:
+            ddf = spark.read.parquet(
+                *[os.path.join(table.root, f.path) for f in dels]
+            ).select(F.col("file_name").alias("_dfile"), F.col("pos").alias("_dpos"))
+            tgt = tgt.join(F.broadcast(ddf), ["_dfile", "_dpos"], "left_anti")
         keys = src.select(key).distinct()
         join_keys = F.broadcast(keys) if n_src <= BROADCAST_KEY_LIMIT else keys
         hits = (
             tgt.join(join_keys, on=key, how="left_semi")
-            .groupBy("_file").agg(F.count(F.lit(1)).alias("n"))
+            .groupBy("_dfile").agg(F.count(F.lit(1)).alias("n"))
             .collect()
         )
         matched_candidates = sum(r["n"] for r in hits)
-        touched_rel = [os.path.relpath(_strip_scheme(r["_file"]), table.root) for r in hits]
+        basename_to_rel = {os.path.basename(f.path): f.path for f in candidates}
+        touched_rel = [basename_to_rel[r["_dfile"]] for r in hits]
 
     # ---- 2. rewrite touched files: drop matched keys, then union upserts
     rel_to_file = {f.path: f for f in live}
@@ -143,8 +160,11 @@ def merge_into(
     range_cols = [*table.meta.partition_by, key]
     upserts = upserts.repartitionByRange(n_up, *range_cols)
     if touched_files:
+        # read_files with the SNAPSHOT's sidecars: pending MoR deletes on
+        # touched files are baked into the rewrite, not resurrected
         survivors = _anti_join_salted(
-            table.read_files(spark, touched_files), src.select(key), key, salt_buckets,
+            table.read_files(spark, touched_files, delete_files=dels),
+            src.select(key), key, salt_buckets,
             n_keys=n_src,
         )
         new_data = survivors.unionByName(upserts)

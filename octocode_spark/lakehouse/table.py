@@ -507,7 +507,10 @@ class LakeTable:
         files under the latest schema null-fills the columns they predate,
         exactly as a time-travel read of the source table would."""
         self.refresh()
-        files = self.files(snapshot_id)
+        # delete sidecars ship too — an export that copied only data files
+        # would resurrect MoR-deleted rows; relative paths keep the
+        # (basename, pos) references valid in the copy
+        files = self.files(snapshot_id) + self.delete_files(snapshot_id)
         props = {k: v for k, v in self.meta.properties.items() if not k.startswith("branch:")}
         out = LakeTable.create(
             dest_root, self.schema,

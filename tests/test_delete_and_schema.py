@@ -154,6 +154,47 @@ def test_partially_dangling_sidecar_survives_prune(spark, tmp_table_dir):
     assert t.read(spark).filter(F.col("n_tok") % 10 == 4).count() == 0
 
 
+def test_merge_into_table_with_pending_mor_deletes(spark, tmp_table_dir):
+    """MERGE over a table carrying positional-delete sidecars: the confirm
+    scan counts only LIVE rows, a source row keyed on a MoR-deleted doc
+    re-INSERTS it (one copy, no dupes), and untouched pending deletes stay
+    deleted through the rewrite."""
+    from octocode_spark.lakehouse.merge import merge_into
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=1000, small_files=6)
+    ids = [r["doc_id"] for r in t.read(spark).select("doc_id").orderBy("doc_id").limit(3).collect()]
+    dead_then_upserted, dead_untouched, live_updated = ids
+    t.delete_where(spark, F.col("doc_id").isin([dead_then_upserted, dead_untouched]), mode="mor")
+    pre = t.read(spark).count()  # 998
+
+    upd = (
+        t.read(spark, snapshot_id=t.meta.snapshots[0].snapshot_id)  # pre-delete rows
+        .filter(F.col("doc_id").isin([dead_then_upserted, live_updated]))
+        .withColumn("n_tok", F.lit(7).cast("int"))
+    )
+    merge_into(spark, t, upd, key="doc_id")
+    got = t.read(spark)
+    assert got.count() == pre + 1  # the deleted-then-upserted doc came back once
+    assert got.filter(F.col("doc_id") == dead_then_upserted).count() == 1
+    assert got.filter(F.col("doc_id") == dead_untouched).count() == 0
+    assert got.filter(F.col("doc_id") == live_updated).first()["n_tok"] == 7
+    # key uniqueness survived
+    assert got.groupBy("doc_id").count().filter("count > 1").count() == 0
+
+
+def test_export_snapshot_carries_sidecars(spark, tmp_table_dir):
+    from octocode_spark.lakehouse import LakeTable
+
+    t = make_sequences_table(spark, tmp_table_dir + "/src", n_rows=600, small_files=4)
+    victim = t.read(spark).select("doc_id").first()["doc_id"]
+    t.delete_where(spark, F.col("doc_id") == victim, mode="mor")
+    out = t.export_snapshot(tmp_table_dir + "/dst")
+    loaded = LakeTable.load(tmp_table_dir + "/dst")
+    assert len(loaded.delete_files()) == 1
+    assert loaded.read(spark).count() == 599
+    assert loaded.read(spark).filter(F.col("doc_id") == victim).count() == 0
+
+
 def test_rewrite_manifests_preserves_live_sidecars(spark, tmp_table_dir):
     """Manifest compaction regroups entries by partition — sidecar entries
     (content='deletes', empty partition) must survive the regroup and keep
