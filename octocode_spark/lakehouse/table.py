@@ -636,7 +636,10 @@ class LakeTable:
     def overwrite_all(self, df: DataFrame) -> Snapshot:
         self._check_schema(df)
         added = self._write_datafiles(df)
-        live = [f.path for f in self.files()]
+        # replace delete sidecars too: every file they referenced is going
+        # away, so keeping them would only leave dangling entries for
+        # maintenance to prune
+        live = [f.path for f in self.files()] + [f.path for f in self.delete_files()]
         return self._commit("overwrite", added=added, replaced=live)
 
     def replace_files(
