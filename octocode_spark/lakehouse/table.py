@@ -210,6 +210,119 @@ class LakeTable:
         — same contract as Iceberg's incremental append scan)."""
         return self.read_files(spark, self.incremental_files(from_snapshot_id, to_snapshot_id))
 
+    # commit operations that move rows between files WITHOUT changing table
+    # contents — a changelog scan emits nothing for them (Iceberg likewise
+    # treats REPLACE operations as logical no-ops in its changelog scan)
+    _CHANGELOG_NOOP_OPS = frozenset(
+        {"compact", "rewrite-manifests", "expire", "prune-deletes", "import"}
+    )
+
+    def changelog_read(
+        self,
+        spark: SparkSession,
+        from_snapshot_id: int,
+        to_snapshot_id: int | None = None,
+        ignore_rewrites: bool = True,
+    ) -> DataFrame:
+        """CDC source (Iceberg changelog-scan analog): row-level changes
+        committed AFTER ``from_snapshot_id`` up to ``to_snapshot_id``
+        (default: current), as the table columns plus
+        ``_change_type`` ('insert' | 'delete') and ``_snapshot_id``.
+
+        - inserts: rows of data files ADDED by append snapshots;
+        - deletes: rows removed by positional-delete sidecars added by
+          merge-on-read delete snapshots (the deleted rows themselves,
+          recovered by joining the sidecar entries back to their files).
+
+        Rewrite-class snapshots (compaction, manifest rewrite, expiry,
+        sidecar pruning) change layout, not contents — skipped when
+        ``ignore_rewrites`` (default). Content-changing operations whose
+        row-level delta is not recoverable from metadata (merge, overwrite,
+        copy-on-write delete) RAISE instead of emitting a wrong changelog —
+        the same refusal Iceberg's changelog scan makes for overwrites."""
+        snaps = list(reversed(self._main_ancestry()))  # oldest → newest
+        idx = {s.snapshot_id: i for i, s in enumerate(snaps)}
+        if from_snapshot_id not in idx:
+            raise KeyError(f"unknown snapshot {from_snapshot_id}")
+        hi = idx[to_snapshot_id] if to_snapshot_id is not None else len(snaps) - 1
+        window = snaps[idx[from_snapshot_id] + 1 : hi + 1]
+        from pyspark.sql import functions as F
+
+        meta_schema = T.StructType(
+            list(self.schema.fields)
+            + [
+                T.StructField("_change_type", T.StringType(), False),
+                T.StructField("_snapshot_id", T.LongType(), False),
+            ]
+        )
+        out = spark.createDataFrame([], meta_schema)
+        prev = snaps[idx[from_snapshot_id]]
+        for s in window:
+            if s.operation in self._CHANGELOG_NOOP_OPS:
+                if not ignore_rewrites:
+                    raise ValueError(
+                        f"changelog window crosses rewrite snapshot {s.snapshot_id} "
+                        f"({s.operation}) and ignore_rewrites=False"
+                    )
+                prev = s
+                continue
+            prev_data = {f.path for f in self.files(prev.snapshot_id)}
+            prev_dels = {f.path for f in self.delete_files(prev.snapshot_id)}
+            added_data = [f for f in self.files(s.snapshot_id) if f.path not in prev_data]
+            added_dels = [
+                f for f in self.delete_files(s.snapshot_id) if f.path not in prev_dels
+            ]
+            removed_data = prev_data - {f.path for f in self.files(s.snapshot_id)}
+            if s.operation == "append" and not added_dels and not removed_data:
+                if added_data:
+                    ins = self.read_files(spark, added_data, delete_files=[]).select(
+                        "*",
+                        F.lit("insert").alias("_change_type"),
+                        F.lit(s.snapshot_id).alias("_snapshot_id"),
+                    )
+                    out = out.unionByName(ins)
+            elif s.operation == "delete" and not added_data and not removed_data:
+                if added_dels:
+                    # the deleted ROWS: entries of the new sidecars joined
+                    # back to their referenced (still-live-at-prev) files
+                    refs = self._sidecar_file_names(added_dels)
+                    ref_files = [
+                        f for f in self.files(prev.snapshot_id)
+                        if os.path.basename(f.path) in refs
+                    ]
+                    tagged = spark.read.schema(self.schema).parquet(
+                        *[os.path.join(self.root, f.path) for f in ref_files]
+                    ).select(
+                        "*",
+                        F.element_at(
+                            F.split(F.col("_metadata.file_path"), "/"), -1
+                        ).alias("_dfile"),
+                        F.col("_metadata.row_index").alias("_dpos"),
+                    )
+                    ddf = spark.read.parquet(
+                        *[os.path.join(self.root, f.path) for f in added_dels]
+                    ).select(
+                        F.col("file_name").alias("_dfile"), F.col("pos").alias("_dpos")
+                    )
+                    dels = (
+                        tagged.join(F.broadcast(ddf), ["_dfile", "_dpos"], "left_semi")
+                        .drop("_dfile", "_dpos")
+                        .select(
+                            "*",
+                            F.lit("delete").alias("_change_type"),
+                            F.lit(s.snapshot_id).alias("_snapshot_id"),
+                        )
+                    )
+                    out = out.unionByName(dels)
+            else:
+                raise ValueError(
+                    f"changelog undefined across snapshot {s.snapshot_id} "
+                    f"({s.operation}: rewrites files with content changes — "
+                    "row-level delta not recoverable from metadata)"
+                )
+            prev = s
+        return out
+
     def partitions(self, snapshot_id: int | None = None) -> dict[str, list[DataFile]]:
         """Group live files by partition key string (ledger grain)."""
         groups: dict[str, list[DataFile]] = {}

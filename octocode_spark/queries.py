@@ -2186,6 +2186,44 @@ def q62(spark: SparkSession, sf: str) -> DataFrame:
     )
 
 
+@_q(
+    "q63_changelog_read",
+    """
+    SELECT doc_id, n_chars, 'insert' AS _change_type
+    FROM documents WHERE doc_id % 2 = 1
+    UNION ALL
+    SELECT doc_id, n_chars, 'delete' AS _change_type
+    FROM documents WHERE doc_id % 7 = 3
+    ORDER BY _change_type, doc_id
+    """,
+)
+def q63(spark: SparkSession, sf: str) -> DataFrame:
+    """CDC changelog scan (Iceberg changelog analog): append half the
+    corpus, snapshot, append the other half, MoR-delete a predicate, then
+    read the row-level changes since the first snapshot — inserts are the
+    second append's rows, deletes are the sidecar-removed rows recovered by
+    joining entries back to their files. A doc both inserted and deleted in
+    the window emits BOTH events, which the oracle reproduces in SQL."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from octocode_spark.lakehouse import LakeTable
+
+    d = _t(spark, sf, "documents").select("doc_id", "n_chars")
+    tmp = tempfile.mkdtemp(prefix="q63_cdc_")
+    atexit.register(shutil.rmtree, tmp, True)
+    t = LakeTable.create(tmp + "/docs", d.schema, stat_cols=["doc_id"])
+    first = t.append(d.filter(F.col("doc_id") % 2 == 0).repartition(2))
+    t.append(d.filter(F.col("doc_id") % 2 == 1).repartition(2))
+    t.delete_where(spark, F.col("doc_id") % 7 == 3, mode="mor")
+    return (
+        t.changelog_read(spark, from_snapshot_id=first.snapshot_id)
+        .select("doc_id", "n_chars", "_change_type")
+        .orderBy("_change_type", "doc_id")
+    )
+
+
 def queries() -> dict[str, QueryFn]:
     return dict(_QUERIES)
 

@@ -195,6 +195,46 @@ def test_export_snapshot_carries_sidecars(spark, tmp_table_dir):
     assert loaded.read(spark).filter(F.col("doc_id") == victim).count() == 0
 
 
+def test_changelog_read_semantics(spark, tmp_table_dir):
+    """CDC scan: inserts from append snapshots, deletes from MoR sidecars
+    (row values recovered), rewrite snapshots skipped as logical no-ops,
+    content-rewriting ops refused."""
+    from octocode_spark.lakehouse.maintenance import plan_compaction, rewrite_partitions
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=400, small_files=4)
+    s0 = t.meta.current_snapshot_id
+    extra = sequences(spark, 450, max_tok_cap=64).filter(
+        ~F.col("doc_id").isin([r["doc_id"] for r in t.read(spark).select("doc_id").collect()])
+    )
+    n_extra = extra.count()
+    t.append(extra.repartition(2))
+    victims = [r["doc_id"] for r in t.read(spark).select("doc_id").orderBy("doc_id").limit(5).collect()]
+    t.delete_where(spark, F.col("doc_id").isin(victims), mode="mor")
+
+    log = t.changelog_read(spark, from_snapshot_id=s0)
+    ins = log.filter("_change_type = 'insert'")
+    dels = log.filter("_change_type = 'delete'")
+    assert ins.count() == n_extra
+    assert sorted(r["doc_id"] for r in dels.select("doc_id").collect()) == sorted(victims)
+    # deleted rows carry their real column values
+    assert dels.filter(F.col("n_tok").isNull()).count() == 0
+
+    # a compaction inside the window is a logical no-op: changelog unchanged
+    rewrite_partitions(spark, t, plan_compaction(t, target_file_size=1 << 30, force=True))
+    log2 = t.changelog_read(spark, from_snapshot_id=s0)
+    assert log2.filter("_change_type = 'insert'").count() == n_extra
+    assert log2.filter("_change_type = 'delete'").count() == len(victims)
+    with pytest.raises(ValueError, match="rewrite snapshot"):
+        t.changelog_read(spark, from_snapshot_id=s0, ignore_rewrites=False)
+
+    # a CoW delete's row-level delta is not metadata-recoverable: refuse
+    t.delete_where(spark, F.col("n_tok") < 5)
+    survivors = t.read(spark)
+    if t.meta.snapshot().operation == "delete" and survivors.count() < 400 + n_extra - len(victims):
+        with pytest.raises(ValueError, match="changelog undefined"):
+            t.changelog_read(spark, from_snapshot_id=s0)
+
+
 def test_rewrite_manifests_preserves_live_sidecars(spark, tmp_table_dir):
     """Manifest compaction regroups entries by partition — sidecar entries
     (content='deletes', empty partition) must survive the regroup and keep
