@@ -207,7 +207,10 @@ class LakeTable:
         """Rows in files added after ``from_snapshot_id``. For append-only
         traffic this is exactly the new rows; after rewrites it is the
         rewritten files' contents (callers MERGE on keys, which is idempotent
-        — same contract as Iceberg's incremental append scan)."""
+        — same contract as Iceberg's incremental append scan). Merge-on-read
+        DELETES are not surfaced here (they add sidecars, not data files) —
+        consumers that must observe deletes use changelog_read, which emits
+        them as '_change_type = delete' rows."""
         return self.read_files(spark, self.incremental_files(from_snapshot_id, to_snapshot_id))
 
     # commit operations that move rows between files WITHOUT changing table
