@@ -195,6 +195,47 @@ def test_export_snapshot_carries_sidecars(spark, tmp_table_dir):
     assert loaded.read(spark).filter(F.col("doc_id") == victim).count() == 0
 
 
+def test_replicate_changelog_mirrors_source(spark, tmp_table_dir):
+    """CDC replication: bootstrap dst from an export, mutate src through
+    appends + MoR deletes (including a delete-then-reappend key), replicate,
+    and the tables' contents match row for row — with dst taking sidecar
+    deletes, never data-file rewrites."""
+    from octocode_spark.lakehouse import LakeTable
+    from octocode_spark.lakehouse.replicate import replicate_changelog
+
+    src = make_sequences_table(spark, tmp_table_dir + "/src", n_rows=500, small_files=4)
+    cursor = src.meta.current_snapshot_id
+    src.export_snapshot(tmp_table_dir + "/dst")
+    dst = LakeTable.load(tmp_table_dir + "/dst")
+
+    ids = [r["doc_id"] for r in src.read(spark).select("doc_id").orderBy("doc_id").limit(4).collect()]
+    gone, comeback, gone2, _ = ids
+    extra = sequences(spark, 560, max_tok_cap=64).filter(
+        F.col("doc_id") > src.read(spark).agg(F.max("doc_id")).first()[0]
+    )
+    src.append(extra.repartition(2))                                   # commit 1
+    src.delete_where(spark, F.col("doc_id").isin([gone, comeback]), mode="mor")  # commit 2
+    resurrect = (
+        src.read(spark, snapshot_id=cursor)
+        .filter(F.col("doc_id") == comeback)
+        .withColumn("n_tok", F.lit(99).cast("int"))
+    )
+    src.append(resurrect)                                              # commit 3
+    src.delete_where(spark, F.col("doc_id") == gone2, mode="mor")      # commit 4
+
+    dst_data_before = {f.path for f in dst.files()}
+    new_cursor = replicate_changelog(spark, src, dst, cursor, key="doc_id")
+    assert new_cursor == src.meta.current_snapshot_id
+
+    s_rows = sorted(map(tuple, src.read(spark).select("doc_id", "n_tok", "source").collect()))
+    d_rows = sorted(map(tuple, dst.read(spark).select("doc_id", "n_tok", "source").collect()))
+    assert s_rows == d_rows
+    assert dst_data_before <= {f.path for f in dst.files()}  # no rewrites, only appends
+    assert dst.delete_files()  # deletes arrived as sidecars
+    # idempotent cursor: nothing new → nothing applied
+    assert replicate_changelog(spark, src, dst, new_cursor, key="doc_id") == new_cursor
+
+
 def test_changelog_read_semantics(spark, tmp_table_dir):
     """CDC scan: inserts from append snapshots, deletes from MoR sidecars
     (row values recovered), rewrite snapshots skipped as logical no-ops,
