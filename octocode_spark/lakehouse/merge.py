@@ -31,7 +31,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from octocode_spark.lakehouse.ledger import Ledger
-from octocode_spark.lakehouse.table import LakeTable, _strip_scheme, partition_key
+from octocode_spark.lakehouse.table import LakeTable, partition_key
 
 # broadcast the source-key set up to this many keys; beyond it, shuffle join
 # with AQE skew splitting (at 10^12-row scale the planner threshold maps to
