@@ -236,6 +236,41 @@ def test_replicate_changelog_mirrors_source(spark, tmp_table_dir):
     assert replicate_changelog(spark, src, dst, new_cursor, key="doc_id") == new_cursor
 
 
+def test_replicate_changelog_seeded_random_walk(spark, tmp_table_dir):
+    """Breadth: a seeded random schedule of appends and MoR deletes (6
+    commits, one replication over the whole window) still mirrors exactly —
+    the ancestry-ordered per-commit application handles any interleaving."""
+    import random
+
+    from octocode_spark.lakehouse import LakeTable
+    from octocode_spark.lakehouse.replicate import replicate_changelog
+
+    rng = random.Random(1234)
+    src = make_sequences_table(spark, tmp_table_dir + "/src", n_rows=300, small_files=3)
+    cursor = src.meta.current_snapshot_id
+    src.export_snapshot(tmp_table_dir + "/dst")
+    dst = LakeTable.load(tmp_table_dir + "/dst")
+
+    next_id = 1000
+    for _ in range(6):
+        live = [r["doc_id"] for r in src.read(spark).select("doc_id").collect()]
+        if rng.random() < 0.5 and live:
+            victims = rng.sample(live, min(4, len(live)))
+            src.delete_where(spark, F.col("doc_id").isin(victims), mode="mor")
+        else:
+            # genuinely-new ids: prefix a fresh namespace per batch
+            fresh = sequences(spark, 30, max_tok_cap=32).withColumn(
+                "doc_id", F.concat(F.lit(f"new{next_id}-"), F.col("doc_id"))
+            )
+            next_id += 1
+            src.append(fresh)
+
+    cursor = replicate_changelog(spark, src, dst, cursor, key="doc_id")
+    s_rows = sorted(map(tuple, src.read(spark).select("doc_id", "n_tok", "source").collect()))
+    d_rows = sorted(map(tuple, dst.read(spark).select("doc_id", "n_tok", "source").collect()))
+    assert s_rows == d_rows and len(s_rows) > 0
+
+
 def test_changelog_read_semantics(spark, tmp_table_dir):
     """CDC scan: inserts from append snapshots, deletes from MoR sidecars
     (row values recovered), rewrite snapshots skipped as logical no-ops,
