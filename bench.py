@@ -49,8 +49,7 @@ HEADLINE = [
     "q17_cosine_topk",
     "q19_asof_last_click_before_purchase",
     "q21_events_within_hour_after_purchase",
-    "q26_minhash_signatures",
-    "q27_simhash_values",
+    "q26_sketch_signatures",
 ]
 
 

@@ -188,7 +188,7 @@ def hybrid_search(
 
     Two candidate lists of ``candidates`` each (over-fetch, like the
     reference's top_k_candidates=50), fused with w/(60+rank). Both the
-    candidate cut and the in-list rank order on floor(score·1e12)::BIGINT
+    candidate cut and the in-list rank order on floor(score·1e6)::BIGINT
     (stable_rank_key) so near-tied float scores rank identically on any
     engine — the reference's determinism rule.
 
@@ -237,7 +237,9 @@ def hybrid_search(
     )
     if reranker is not None:
         fused = reranker(fused)
-    return fused.limit(k) if k else fused
+    # `k is not None`, not truthiness: k=0 must keep its empty-result
+    # semantics instead of silently returning the full fused frame
+    return fused.limit(k) if k is not None else fused
 
 
 def hybrid_search_auto(

@@ -677,9 +677,9 @@ def test_stable_rank_key_domain_and_nan(spark):
         [(1, 0.5), (2, float("nan")), (3, None)], "id: long, s: double"
     )
     rows = {r["id"]: r["k"] for r in ok.select("id", stable_rank_key("s").alias("k")).collect()}
-    assert rows[1] == int(0.5e12) and rows[2] is None and rows[3] is None
+    assert rows[1] == int(0.5e6) and rows[2] is None and rows[3] is None
 
-    big = spark.createDataFrame([(1, 2.0e7)], "id: long, s: double")
+    big = spark.createDataFrame([(1, 1.0e13)], "id: long, s: double")
     with pytest.raises(Exception, match="saturate"):
         big.select(stable_rank_key("s").alias("k")).collect()
 

@@ -61,10 +61,15 @@ def test_merge_prune_join_is_semi(spark, qs):
     assert all(checks.values()), checks
 
 
-def test_q41_bm25_stats_broadcast_no_python(spark, qs):
-    """BM25: the corpus-stats row joins via broadcast (never a shuffle) and
-    the whole scoring pipeline stays JVM-side."""
-    plan = formatted_plan(qs["q41_bm25_topk"](spark, SF))
+def test_bm25_scan_path_stats_broadcast_no_python(spark):
+    """The full-recompute BM25 operator (the q41 registry entry now runs the
+    indexed path; this pins the 2-scan form it must stay bit-identical to):
+    the corpus-stats row joins via broadcast (never a shuffle) and the whole
+    scoring pipeline stays JVM-side."""
+    from octocode_spark.operators.hybrid import bm25_topk
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(bm25_topk(docs, terms=["spark", "join", "window"], k=50))
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastHashJoin" in plan
     assert "EvalPython" not in plan
     assert "TakeOrderedAndProject" in plan  # top-k never global-sorts
@@ -164,10 +169,10 @@ def test_global_rewrite_plan_scans_fat_table_once(spark, tmp_table_dir):
     assert "EvalPython" not in plan_str  # zorder key stays JVM-side
 
 
-def test_q51_indexed_bm25_single_scan_no_aggregate(spark, qs):
-    """Index-backed BM25 must not recompute corpus stats: exactly one
-    parquet scan, no aggregate/broadcast anywhere in the plan."""
-    plan = formatted_plan(qs["q51_bm25_indexed"](spark, SF))
+def test_q41_indexed_bm25_single_scan_no_aggregate(spark, qs):
+    """Index-backed BM25 (the q41 registry path) must not recompute corpus
+    stats: exactly one parquet scan, no aggregate/broadcast anywhere."""
+    plan = formatted_plan(qs["q41_bm25_topk"](spark, SF))
     tree = plan.split("\n\n")[0]  # formatted explain repeats nodes in details
     assert tree.count("Scan parquet") == 1
     assert "HashAggregate" not in plan and "BroadcastExchange" not in plan

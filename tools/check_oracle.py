@@ -27,8 +27,7 @@ TABLES = ["region", "nation", "customer", "supplier", "part", "orders", "lineite
 # DuckDB has no xxhash64, so only the weaker rows-only driver check applies)
 ROWS_ONLY_ALLOWED = {
     "q25_cluster_keys",
-    "q26_minhash_signatures",
-    "q27_simhash_values",
+    "q26_sketch_signatures",
     "q40_ivf_ann_topk",
 }
 
@@ -60,8 +59,19 @@ def value_hash(cols, rows):
 
 
 def main():
+    # go through __spark_entry__ (the REAL driver surface), not
+    # octocode_spark.queries directly: its wrapper ships the package zip to
+    # executor workers (addPyFile), so UDF-bearing queries work from any cwd
+    import importlib.util
+
+    spec = importlib.util.spec_from_file_location(
+        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    )
+    entry_mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(entry_mod)
+    queries, oracle_sql = entry_mod.queries, entry_mod.oracle_sql
+
     from octocode_spark import get_spark
-    from octocode_spark.queries import oracle_sql, queries
 
     argv = sys.argv[1:]
     strict = "--strict" in argv
