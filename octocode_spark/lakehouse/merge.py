@@ -183,6 +183,9 @@ def merge_into(
             "files-rewritten": len(touched_rel),
         },
         branch=branch,
+        # `dels` is the sidecar set baked into the survivors scan above — a
+        # MoR delete landing after that plan must conflict, not resurrect
+        known_sidecars={f.path for f in dels},
     )
     if ledger:
         by_part: dict[str, int] = {}

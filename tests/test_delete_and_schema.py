@@ -419,3 +419,158 @@ def test_schema_evolution_rejects_nullability_flip(spark, tmp_table_dir):
     ])
     with pytest.raises(ValueError, match="non-nullable"):
         t.evolve_schema(flipped)
+
+
+def test_delete_where_keys_cluster_side(spark, tmp_table_dir):
+    """delete_where_keys: the delete keys stay a DataFrame end to end (no
+    driver collect, no isin literal — round-4 verdict wrong #2). A 100k-row
+    keys frame (of which only a handful match) commits one MoR sidecar; the
+    old literal-IN shape would have folded 100k strings into the plan."""
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=1500, small_files=6)
+    victims = [r["doc_id"] for r in
+               t.read(spark).select("doc_id").orderBy("doc_id").limit(7).collect()]
+    keys = (
+        spark.range(100_000)
+        .select(F.concat(F.lit("nomatch-"), F.col("id").cast("string")).alias("doc_id"))
+        .unionByName(spark.createDataFrame([(v,) for v in victims], "doc_id: string"))
+    )
+    pre_rows = t.read(spark).count()
+    data_before = {f.path for f in t.files()}
+    snap = t.delete_where_keys(spark, keys, mode="mor")
+    assert snap is not None
+    assert {f.path for f in t.files()} == data_before  # no rewrites
+    assert len(t.delete_files()) == 1                  # one sidecar
+    got = t.read(spark)
+    assert got.count() == pre_rows - len(victims)
+    assert got.filter(F.col("doc_id").isin(victims)).count() == 0
+
+
+def test_delete_where_keys_cow_matches_predicate_delete(spark, tmp_path):
+    """CoW keys-delete ≡ predicate-delete: same survivors, same digest."""
+    a = make_sequences_table(spark, str(tmp_path / "a"), n_rows=800, small_files=4)
+    b = make_sequences_table(spark, str(tmp_path / "b"), n_rows=800, small_files=4)
+    victims = a.read(spark).filter("n_tok < 64").select("doc_id")
+    a.delete_where_keys(spark, victims, mode="cow")
+    b.delete_where(spark, F.col("n_tok") < 64, mode="cow")
+    assert table_digest(a.read(spark)) == table_digest(b.read(spark))
+    assert not a.delete_files()
+
+
+def test_replicate_coalesced_one_commit_equals_per_commit(spark, tmp_path):
+    """Debounce semantics (reference watcher.rs:33-62): a 6-commit source
+    window folds into ONE destination commit whose final state digest equals
+    the per-commit replication of the same window — including a key inserted
+    then deleted inside the window (nets to absent) and a delete+reappend."""
+    import random
+
+    from octocode_spark.lakehouse import LakeTable
+    from octocode_spark.lakehouse.replicate import replicate_changelog, replicate_coalesced
+
+    rng = random.Random(77)
+    src = make_sequences_table(spark, str(tmp_path / "src"), n_rows=300, small_files=3)
+    cursor = src.meta.current_snapshot_id
+    src.export_snapshot(str(tmp_path / "d1"))
+    src.export_snapshot(str(tmp_path / "d2"))
+    d1, d2 = LakeTable.load(str(tmp_path / "d1")), LakeTable.load(str(tmp_path / "d2"))
+
+    next_id = 500
+    inserted_then_deleted = None
+    for i in range(6):
+        if i == 2:  # insert a fresh batch, remember one id ...
+            fresh = sequences(spark, 20, max_tok_cap=32).withColumn(
+                "doc_id", F.concat(F.lit("win-"), F.col("doc_id"))
+            )
+            inserted_then_deleted = fresh.select("doc_id").first()["doc_id"]
+            src.append(fresh)
+        elif i == 4 and inserted_then_deleted:  # ... and delete it in-window
+            src.delete_where(spark, F.col("doc_id") == inserted_then_deleted, mode="mor")
+        elif rng.random() < 0.5:
+            live = [r["doc_id"] for r in src.read(spark).select("doc_id").limit(50).collect()]
+            src.delete_where(spark, F.col("doc_id").isin(rng.sample(live, 4)), mode="mor")
+        else:
+            fresh = sequences(spark, 15, max_tok_cap=32).withColumn(
+                "doc_id", F.concat(F.lit(f"n{next_id}-"), F.col("doc_id"))
+            )
+            next_id += 1
+            src.append(fresh)
+
+    v_before = d2.meta.version
+    c1 = replicate_changelog(spark, src, d1, cursor, key="doc_id")
+    c2 = replicate_coalesced(spark, src, d2, cursor, key="doc_id")
+    assert c1 == c2 == src.meta.current_snapshot_id
+    assert d2.meta.version == v_before + 1  # ONE destination commit
+    assert table_digest(d1.read(spark)) == table_digest(d2.read(spark))
+    assert table_digest(d2.read(spark)) == table_digest(
+        src.read(spark).select(*d2.schema.names)
+    )
+    assert d2.read(spark).filter(F.col("doc_id") == inserted_then_deleted).count() == 0
+    # coalesced replay is IDEMPOTENT (the crash-recovery property)
+    replicate_coalesced(spark, src, d2, cursor, key="doc_id")
+    assert table_digest(d2.read(spark)) == table_digest(d1.read(spark))
+
+
+def test_watch_replicate_bounded_error_cap(spark, tmp_path, monkeypatch):
+    """The watcher loop re-raises after max_consecutive_errors consecutive
+    failures (reference watcher.rs:103-142) and resets the counter on
+    success; on_cursor fires only after successful rounds."""
+    from octocode_spark.lakehouse import LakeTable
+    from octocode_spark.lakehouse import replicate as rep
+
+    src = make_sequences_table(spark, str(tmp_path / "src"), n_rows=100, small_files=2)
+    cursor = src.meta.current_snapshot_id
+    src.export_snapshot(str(tmp_path / "dst"))
+    dst = LakeTable.load(str(tmp_path / "dst"))
+
+    calls = {"n": 0}
+
+    def boom(*a, **k):
+        calls["n"] += 1
+        raise RuntimeError("source unreachable")
+
+    monkeypatch.setattr(rep, "replicate_coalesced", boom)
+    with pytest.raises(RuntimeError, match="unreachable"):
+        rep.watch_replicate(spark, src, dst, cursor, key="doc_id",
+                            rounds=10, max_consecutive_errors=3)
+    assert calls["n"] == 3  # capped, not 10
+    monkeypatch.undo()
+
+    src.append(sequences(spark, 10, max_tok_cap=16).withColumn(
+        "doc_id", F.concat(F.lit("w-"), F.col("doc_id"))))
+    seen = []
+    out = rep.watch_replicate(spark, src, dst, cursor, key="doc_id",
+                              rounds=2, on_cursor=seen.append)
+    assert out == src.meta.current_snapshot_id and seen == [out]
+    assert table_digest(dst.read(spark)) == table_digest(src.read(spark).select(*dst.schema.names))
+
+
+def test_rewrite_conflicts_on_mor_delete_after_planning(spark, tmp_table_dir):
+    """validateNoNewDeleteFiles analog (round-5 advice): a rewrite planned
+    BEFORE a MoR delete lands must CONFLICT at commit when the sidecar
+    references a replaced file — otherwise the rewrite (whose scan predates
+    the sidecar) silently resurrects the deleted rows and the dangling
+    sidecar is pruned later. A sidecar touching only UNREPLACED files must
+    not conflict."""
+    from octocode_spark.lakehouse.table import CommitConflict
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=1000, small_files=6)
+    files = t.files(partition_filter={"source": "github"})
+    assert len(files) >= 1
+    known = {f.path for f in t.delete_files()}  # plan-time capture (empty)
+    df = t.read_files(spark, files, delete_files=t.delete_files())
+    added = t._write_datafiles(df)
+
+    # a MoR delete lands in the plan->commit window, hitting a planned file
+    victim = df.select("doc_id").first()["doc_id"]
+    t.delete_where(spark, F.col("doc_id") == victim, mode="mor")
+
+    with pytest.raises(CommitConflict, match="sidecar"):
+        t.replace_files([f.path for f in files], added, operation="compact",
+                        known_sidecars=known)
+
+    # the same rewrite re-planned AFTER the sidecar (so it bakes it in) commits fine
+    known2 = {f.path for f in t.delete_files()}
+    df2 = t.read_files(spark, files, delete_files=t.delete_files())
+    added2 = t._write_datafiles(df2)
+    t.replace_files([f.path for f in files], added2, operation="compact",
+                    known_sidecars=known2)
+    assert t.read(spark).filter(F.col("doc_id") == victim).count() == 0
