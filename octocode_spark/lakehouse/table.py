@@ -641,6 +641,82 @@ class LakeTable:
         out._commit("import", added=files, replaced=[])
         return out
 
+    ARCHIVE_MARKER = "_OCTOCODE_SPARK_EXPORT"
+    ARCHIVE_MAGIC = b"octocode-spark-export-v1"
+
+    def export_archive(self, dest_path: str, snapshot_id: int | None = None) -> str:
+        """Single-FILE export (reference export.rs:24-60: tar+zstd archive
+        with a magic marker validated on import): the snapshot's
+        self-contained table directory packed into one ``.tar.gz`` whose
+        FIRST member is a format marker carrying magic, table uuid, and the
+        pinned snapshot id. gzip, not zstd — no zstd binding ships in this
+        environment, and the payload is already-compressed parquet, so the
+        wrapper codec is cosmetic. Returns ``dest_path``. Import with
+        ``LakeTable.import_archive`` (which REFUSES marker-less tars)."""
+        import json as _json
+        import tarfile
+        import tempfile
+
+        staging = tempfile.mkdtemp(prefix="lake_export_")
+        try:
+            exported = self.export_snapshot(os.path.join(staging, "table"), snapshot_id)
+            marker = _json.dumps({
+                "magic": self.ARCHIVE_MAGIC.decode(),
+                "table_uuid": exported.meta.table_uuid,
+                "snapshot_id": snapshot_id or self.meta.current_snapshot_id,
+            }).encode()
+            tmp_out = dest_path + ".tmp"
+            with tarfile.open(tmp_out, "w:gz") as tf:
+                import io
+                import time as _time
+
+                info = tarfile.TarInfo(self.ARCHIVE_MARKER)
+                info.size = len(marker)
+                info.mtime = int(_time.time())
+                tf.addfile(info, io.BytesIO(marker))
+                tf.add(os.path.join(staging, "table"), arcname="table")
+            os.replace(tmp_out, dest_path)  # atomic: no torn archive visible
+            return dest_path
+        finally:
+            shutil.rmtree(staging, ignore_errors=True)
+
+    @classmethod
+    def import_archive(cls, archive_path: str, dest_root: str) -> "LakeTable":
+        """Unpack an ``export_archive`` file into ``dest_root`` and load it.
+        The FIRST archive member must be the format marker with the right
+        magic (the reference's import-time validation, export.rs:41-60) —
+        anything else is refused before a single byte is extracted. Members
+        are extracted with the stdlib 'data' filter (no absolute paths, no
+        ``..`` traversal, no specials)."""
+        import json as _json
+        import tarfile
+
+        with tarfile.open(archive_path, "r:gz") as tf:
+            first = tf.next()
+            if first is None or first.name != cls.ARCHIVE_MARKER:
+                raise ValueError(
+                    f"not an octocode_spark export archive (missing {cls.ARCHIVE_MARKER} "
+                    "marker as first member)"
+                )
+            payload = tf.extractfile(first).read()
+            try:
+                meta = _json.loads(payload)
+            except ValueError as e:
+                raise ValueError(f"corrupt export marker: {e}") from None
+            if meta.get("magic") != cls.ARCHIVE_MAGIC.decode():
+                raise ValueError(f"wrong archive magic: {meta.get('magic')!r}")
+            os.makedirs(dest_root, exist_ok=True)
+            members = [m for m in tf.getmembers() if m.name != cls.ARCHIVE_MARKER]
+            for m in members:
+                if not (m.name == "table" or m.name.startswith("table/")):
+                    raise ValueError(f"unexpected archive member: {m.name}")
+            tf.extractall(dest_root, members=members, filter="data")
+        src = os.path.join(dest_root, "table")
+        for name in os.listdir(src):
+            shutil.move(os.path.join(src, name), os.path.join(dest_root, name))
+        os.rmdir(src)
+        return cls.load(dest_root)
+
     # ------------------------------------------------------------------ WAP branches
     # Write-Audit-Publish: snapshots committed to a named branch ref are
     # invisible to main readers until publish() fast-forwards main — the

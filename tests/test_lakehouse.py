@@ -213,3 +213,49 @@ def test_timestamp_time_travel_and_rollback(spark, tmp_table_dir):
     assert t.read(spark).count() == 300
     with pytest.raises(KeyError):
         t.rollback_to(12345)
+
+
+def test_export_archive_roundtrip_and_marker_refusal(spark, tmp_path):
+    """Single-file export (reference export.rs:24-60): tar+marker archive
+    round-trips a table INCLUDING MoR delete sidecars (the deleted rows stay
+    deleted in the import), and import REFUSES a tarball without the format
+    marker as its first member."""
+    import tarfile
+
+    from pyspark.sql import functions as F
+
+    from tests.conftest import make_sequences_table
+
+    t = make_sequences_table(spark, str(tmp_path / "src"), n_rows=400, small_files=3)
+    victim = t.read(spark).select("doc_id").first()["doc_id"]
+    t.delete_where(spark, F.col("doc_id") == victim, mode="mor")
+    assert t.delete_files()
+
+    arc = str(tmp_path / "snap.tar.gz")
+    assert t.export_archive(arc) == arc
+    imp = LakeTable.import_archive(arc, str(tmp_path / "imported"))
+    assert imp.delete_files()  # sidecars shipped
+    from octocode_spark.functions.digest import table_digest
+
+    assert table_digest(imp.read(spark)) == table_digest(t.read(spark))
+    assert imp.read(spark).filter(F.col("doc_id") == victim).count() == 0
+
+    # a plain tar of the same table WITHOUT the marker is refused
+    bare = str(tmp_path / "bare.tar.gz")
+    with tarfile.open(bare, "w:gz") as tf:
+        tf.add(str(tmp_path / "imported"), arcname="table")
+    with pytest.raises(ValueError, match="marker"):
+        LakeTable.import_archive(bare, str(tmp_path / "refused"))
+    # corrupt magic is refused too
+    evil = str(tmp_path / "evil.tar.gz")
+    with tarfile.open(evil, "w:gz") as tf:
+        import io
+        import json
+
+        payload = json.dumps({"magic": "something-else"}).encode()
+        info = tarfile.TarInfo(LakeTable.ARCHIVE_MARKER)
+        info.size = len(payload)
+        tf.addfile(info, io.BytesIO(payload))
+        tf.add(str(tmp_path / "imported"), arcname="table")
+    with pytest.raises(ValueError, match="magic"):
+        LakeTable.import_archive(evil, str(tmp_path / "refused2"))
