@@ -88,13 +88,15 @@ def shingle_array(text: F.Column, n: int = 3, hash_shingles: bool = True) -> F.C
 
 def shingles(docs: DataFrame, text_col: str = "text", n: int = 3,
              id_col: str = "doc_id", hash_shingles: bool = True) -> DataFrame:
-    """Distinct word n-gram shingles per doc: (doc_id, shingle)."""
-    return (
-        docs.select(
-            F.col(id_col).alias("doc_id"),
-            F.explode(shingle_array(F.col(text_col), n, hash_shingles)).alias("shingle"),
-        )
-        .distinct()
+    """Distinct word n-gram shingles per doc: (doc_id, shingle).
+
+    No .distinct() here: shingle_array already array_distinct's per doc, so
+    the exploded rows are unique by construction — a distinct() would add a
+    full (doc_id, shingle) shuffle to every consumer (q16's single biggest
+    cost before round 5) for nothing."""
+    return docs.select(
+        F.col(id_col).alias("doc_id"),
+        F.explode(shingle_array(F.col(text_col), n, hash_shingles)).alias("shingle"),
     )
 
 
@@ -138,30 +140,31 @@ def ngram_jaccard_pairs(
 def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
                        num_perms: int = 64) -> DataFrame:
     """(doc_id, sig: array<long>) — minhash via the h_i(x) = xxhash64(x, i)
-    trick (equivalent to random permutations). num_perms hashes computed as
-    one array expression over the exploded shingles, aggregated with
-    array_min semantics via groupBy + min on each position.
+    trick (equivalent to random permutations).
 
-    Implementation: explode shingles, compute array of per-perm hashes, then
-    elementwise-min aggregate with F.min over transformed positions using
-    zip_with on array aggregation — expressed as min of each array slot via
-    aggregate over collect_list would shuffle arrays; instead we compute
-    per-perm min with groupBy on (doc, perm) kept implicit: build
-    array[h_0..h_63] per shingle and reduce with a single groupBy(doc_id)
-    using elementwise zip_with(min) through F.reduce-like aggregate.
-    """
-    sh = shingles(docs, text_col, n)
-    per_perm = sh.select(
-        "doc_id",
-        F.array(*[F.xxhash64(F.col("shingle"), F.lit(i)) for i in range(num_perms)]).alias("hs"),
-    )
-    # elementwise min across rows: aggregate(collect) would be wide; use
-    # reduce-style agg: min of each slot via transform over a zipped struct is
-    # not available as an agg, so express as num_perms min() aggs — columnar,
-    # map-side combinable, one shuffle.
-    aggs = [F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_perms)]
-    mins = per_perm.groupBy("doc_id").agg(*aggs)
-    return mins.select("doc_id", F.array(*[F.col(f"m{i}") for i in range(num_perms)]).alias("sig"))
+    SHUFFLE-FREE shape (round 5): a signature is a PER-DOCUMENT value, so it
+    never needed an explode + groupBy — sig[i] = array_min(transform(
+    shingle_array, s -> xxhash64(s, i))) computes all num_perms mins in one
+    whole-stage-codegen pass over each row's shingle array, zero exchanges.
+    (The previous explode + num_perms-min-aggs shape paid a full shuffle and
+    a 64-column hash map per doc for the same values — bit-identical output,
+    pinned by the crafted-fixture tests, since min over the same multiset is
+    min over its distinct set.) At 100 TB this also removes the per-doc skew
+    a groupBy(doc_id) inherits from long documents."""
+    # the shingle array MUST be materialized in its own projection: inlining
+    # it into the num_perms min-expressions would re-shingle the text
+    # num_perms times per row (measured 16x wall). Catalyst's CollapseProject
+    # keeps a multi-referenced non-cheap alias as its own project, so _sh is
+    # evaluated once per row.
+    with_arr = docs.select("doc_id", shingle_array(F.col(text_col), n).alias("_sh"))
+
+    def perm_min(i: int):
+        # closure, NOT a default-arg 2-arg lambda: F.transform binds a second
+        # lambda parameter to the element INDEX (documented trap, CLAUDE.md)
+        return F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i))))
+
+    sig = F.array(*[perm_min(i) for i in range(num_perms)])
+    return with_arr.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(
