@@ -135,33 +135,21 @@ def test_global_rewrite_plan_scans_fat_table_once(spark, tmp_table_dir):
     n_buckets = sum(max(len(c) + 1, 1) for _, _, c in routed)
     labels = _reducer_labels(n_buckets)
     all_inputs = [f for p in todo for f in p.inputs]
-    # reconstruct the exact routed dataframe shape used by rewrite_global
-    zc = F.col("_zkey")
-    bucket = None
-    for p, offset, cuts in routed:
-        cond = None
-        for c in t.meta.partition_by:
-            eq = F.col(c).cast("string") == F.lit(str(p.partition.get(c)))
-            cond = eq if cond is None else cond & eq
-        local = (
-            F.aggregate(F.array(*[F.lit(int(x)).cast("long") for x in cuts]), F.lit(0),
-                        lambda acc, cut: acc + F.when(zc > cut, 1).otherwise(0))
-            if cuts else F.lit(0)
-        )
-        b = F.lit(offset) + local
-        bucket = b if cond is None else (F.when(cond, b) if bucket is None else bucket.when(cond, b))
-    bucket = bucket.otherwise(F.lit(-1))
-    label_arr = F.array(*[F.lit(int(x)).cast("long") for x in labels])
+    # the exact routed dataframe shape used by rewrite_global (r5: cuts +
+    # labels ride a broadcast-joined frame — _route_rows IS the prod code)
+    from octocode_spark.lakehouse.maintenance import _route_rows
+
+    keyed = with_cluster_key(t.read_files(spark, all_inputs), curve="zorder")
     df = (
-        with_cluster_key(t.read_files(spark, all_inputs), curve="zorder")
-        .withColumn("_route", F.element_at(label_arr, bucket.cast("int") + F.lit(1)))
+        _route_rows(spark, keyed, routed, list(t.meta.partition_by), labels)
         .repartition(n_buckets, "_route")
         .sortWithinPartitions("_zkey")
         .drop("_zkey", "_route")
     )
     plan_str = formatted_plan(df)
-    # formatted explain prints the tree then per-op details: one scan node
-    # appears once in the tree block (two scans would show as two tree rows)
+    # formatted explain prints the tree then per-op details: one FAT-table
+    # scan in the tree block (the broadcast routes frame is a LocalTableScan,
+    # not a parquet scan; two parquet scans would mean re-execution)
     tree = plan_str.split("\n\n")[0]
     assert tree.count("Scan parquet") == 1, tree
     assert "rangepartitioning" not in plan_str.lower()
@@ -191,3 +179,19 @@ def test_q44_offset_pagination_no_global_window(spark, qs):
     body = plan.split("\n\n")[0]  # the tree section
     assert body.index("Window") < body.index("TakeOrderedAndProject")
     assert body.count("Window") == 1
+
+
+def test_minhash_signatures_zero_exchange(spark):
+    """The round-5 minhash shape: signatures are per-row values — the plan
+    must be a pure projection over one scan (no Exchange, no aggregate),
+    with the shingle array materialized ONCE (a single array_distinct in
+    the plan, not num_perms of them)."""
+    from octocode_spark.operators.dedup import minhash_signatures
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = formatted_plan(minhash_signatures(docs, num_perms=16))
+    tree = plan.split("\n\n")[0]
+    assert "Exchange" not in tree, tree
+    assert "HashAggregate" not in tree, tree
+    assert tree.count("Scan parquet") == 1, tree
+    assert plan.count("array_distinct") == 1, "shingle array inlined N times"
