@@ -194,19 +194,53 @@ MAINT_BUDGET_S = int(os.environ.get("SPARK_GRAFT_BENCH_BUDGET_S", "900"))
 STALL_FACTOR = 2.0  # see _valid_rounds in maintenance_interleaved
 
 
-def _round_cpu_ratio(small: int, big: int) -> float:
-    """One quick SAME-WINDOW cpu-scaling sample (pure hashing, no Spark):
-    what THIS minute's silicon gives going small→big procs. Pairs each
-    measured rewrite ratio with the host ceiling of its own window."""
+def _round_cpu_ratio(small: int, big: int, reps: int = 3) -> float:
+    """SAME-WINDOW cpu-scaling sample (pure hashing, no Spark): what THIS
+    minute's silicon gives going small→big procs. Median of ``reps``
+    back-to-back pairs — a single pair is itself one draw from the same
+    stall-contaminated distribution as the rewrites (observed: pre/post
+    samples of 2.8 and 1.1 bracketing one round), and a corrupted ceiling
+    corrupts vs_cpu_ceiling even when the measured pair was clean."""
     import multiprocessing as mp
+    import statistics
 
-    ratio = {}
-    for procs in (small, big):
-        t0 = time.time()
-        with mp.Pool(procs) as p:
-            p.map(_burn, [200000] * procs)
-        ratio[procs] = procs * 200000 / (time.time() - t0)
-    return ratio[big] / ratio[small]
+    ratios = []
+    for _ in range(reps):
+        ratio = {}
+        for procs in (small, big):
+            t0 = time.time()
+            with mp.Pool(procs) as p:
+                p.map(_burn, [200000] * procs)
+            ratio[procs] = procs * 200000 / (time.time() - t0)
+        ratios.append(ratio[big] / ratio[small])
+    return statistics.median(ratios)
+
+
+# Pre-round admission gate (round-4 verdict ask #2: sample the ceiling FIRST,
+# defer the measured pair when the window can't scale): a measured round costs
+# 2×(warmup+rewrite) ≈ 30-60s of budget; burning one in a window where even
+# pure hashing scales < CLEAN_CPU_RATIO at 4× procs buys a sample the stall
+# filter will likely discard anyway. Waiting is BOUNDED (max_wait_s) and spent
+# in ~3s probes — when the host never offers a clean window, the round runs
+# regardless and the window-paired normalization still tells the truth.
+# 2.4, not the nominal 3.0: this host's measured ceiling under normal
+# co-tenancy is 2.2-2.9 (BENCH.md) — gating at 3.0 would defer forever and
+# spend the phase budget on probes instead of rounds; 2.4 separates the
+# collapsed windows (<2, where rounds are stall-filtered anyway) from the
+# workable ones.
+CLEAN_CPU_RATIO = float(os.environ.get("SPARK_GRAFT_CLEAN_CPU_RATIO", "2.4"))
+
+
+def _await_clean_window(small: int, big: int, max_wait_s: float = 45.0,
+                        poll_sleep_s: float = 4.0) -> float:
+    t0 = time.monotonic()
+    best = 0.0
+    while True:
+        r = _round_cpu_ratio(small, big, reps=1)  # cheap probe for gating only
+        best = max(best, r)
+        if r >= CLEAN_CPU_RATIO or time.monotonic() - t0 >= max_wait_s:
+            return r
+        time.sleep(poll_sleep_s)
 
 
 def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 3,
@@ -240,21 +274,41 @@ def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 3,
     small, big = levels[0], levels[-1]
 
     def one_round(rnd: int) -> None:
+        # SAMPLE-THEN-MEASURE: gate the round on a pre-sampled window (defer
+        # while the host can't scale, bounded), then bracket the measured
+        # pair with a post sample — the normalizing ceiling is the mean of
+        # the two, i.e. the weather the pair actually ran in, not the
+        # weather after it ended
+        budget_left = MAINT_BUDGET_S - (time.monotonic() - t_phase)
+        pre_r = _await_clean_window(small, big, max_wait_s=min(45.0, max(budget_left / 6, 0.0)))
         secs_at: dict[int, float] = {}
-        for cores in levels:
+        # alternate which level runs first each round: any systematic
+        # first-mover effect (page-cache priming, co-tenant drift within the
+        # round) then averages out of the median instead of biasing one level
+        order = list(levels) if rnd % 2 == 0 else list(reversed(levels))
+        for cores in order:
             spark = _spark(cores)
             try:
                 # warmup compiles the same codegen paths; a smaller table
                 # does that at a fraction of the cost, buying more measured
                 # rounds inside the phase budget
                 _one_rewrite(spark, warmup_root or input_root, f"w{cores}-{rnd}", cluster_by)
-                secs, res = _one_rewrite(spark, input_root, f"t{cores}-{rnd}", cluster_by)
-                secs_at[cores] = secs
-                if cores not in best or secs < best[cores][0]:
-                    best[cores] = (secs, res)
+                # TWO measured rewrites per level, keep the round-min: a
+                # single sample is one draw from a stall-contaminated
+                # distribution (observed: adjacent identical 32-core runs at
+                # 7.1s and 21.1s); min-of-2 suppresses one-off intra-round
+                # stalls SYMMETRICALLY (both levels get the same treatment),
+                # narrowing the per-round ratio without biasing it
+                for rep in range(2):
+                    secs, res = _one_rewrite(spark, input_root, f"t{cores}-{rnd}r{rep}", cluster_by)
+                    if cores not in secs_at or secs < secs_at[cores]:
+                        secs_at[cores] = secs
+                    if cores not in best or secs < best[cores][0]:
+                        best[cores] = (secs, res)
             finally:
                 spark.stop()
-        cpu_r = _round_cpu_ratio(small, big)
+        post_r = _round_cpu_ratio(small, big)
+        cpu_r = (pre_r + post_r) / 2
         ratio = secs_at[small] / secs_at[big]
         per_round.append({
             "round": rnd,
@@ -262,6 +316,8 @@ def maintenance_interleaved(input_root: str, levels: list[int], rounds: int = 3,
             f"s{big}": round(secs_at[big], 3),
             "speedup": round(ratio, 3),
             "cpu_ratio": round(cpu_r, 3),
+            "cpu_ratio_pre": round(pre_r, 3),
+            "cpu_ratio_post": round(post_r, 3),
             "vs_cpu_ceiling": round(ratio / cpu_r, 3),
         })
 
@@ -336,7 +392,7 @@ def main() -> None:
     input_root = build_input("input")
     warmup_root = build_input("warmup", rows=max(BENCH_ROWS // 8, 50_000))
     levels, rstats = maintenance_interleaved(
-        input_root, [small_cores, CPUS], rounds=5, warmup_root=warmup_root
+        input_root, [small_cores, CPUS], rounds=7, warmup_root=warmup_root
     )
     m_small, m_big = levels[small_cores], levels[CPUS]
     shutil.rmtree(input_root, ignore_errors=True)
