@@ -27,6 +27,13 @@ from octocode_spark.lakehouse.table import DataFile, LakeTable
 from octocode_spark.operators.ann import IvfIndex, brute_force_topk, rank_cells
 
 
+def _centroid_frame(spark: SparkSession, centroids) -> DataFrame:
+    """(_cell, _cen array<double>) — small enough to broadcast at the max
+    adaptive cell count (1024 × dim doubles)."""
+    rows = [(int(i), [float(x) for x in c]) for i, c in enumerate(centroids)]
+    return spark.createDataFrame(rows, "_cell: int, _cen: array<double>")
+
+
 def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -> LakeTable:
     """Write the cell assignment as a LakeTable partitioned by `_cell`;
     centroids + index config ride in the table properties.
@@ -50,10 +57,29 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
     and one that doesn't."""
     sample = index.assigned.schema
     dim = len(index.centroids[0])
-    if quantize == "rq1":
+    assigned = index.assigned
+    if quantize in ("rq1", "rq1c"):
         from octocode_spark.operators.ann import rq1_code_col
 
         v = F.col(index.vec_col).cast("array<double>")
+        if quantize == "rq1c":
+            # CENTERED codes (the actual RaBitQ shape,
+            # vector_optimizer.rs:26-54: bits quantize the RESIDUAL against
+            # the cell centroid, not the raw vector): on clustered corpora
+            # every vector in a cell shares its centroid's sign pattern, so
+            # global-sign codes cannot discriminate WITHIN the cell —
+            # measured recall@10 0.225 on a 16-mode corpus vs 0.9+ centered.
+            # The per-cell centroid rides in a broadcast-joined frame; the
+            # coded space matches the assignment space (normalized when the
+            # index is spherical).
+            assigned = assigned.join(
+                F.broadcast(_centroid_frame(assigned.sparkSession, index.centroids)),
+                "_cell",
+            )
+            if index.normalized:
+                nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+                v = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+            v = F.zip_with(v, F.col("_cen"), lambda x, c: x - c)
         norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         fields = [
             T.StructField(index.id_col, next(f for f in sample.fields if f.name == index.id_col).dataType, True),
@@ -90,7 +116,9 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
         fields = fields + [T.StructField("_cell", T.IntegerType(), False)]
         sel = [F.col(index.id_col), F.col(index.vec_col), F.col("_cell")]
     else:
-        raise ValueError(f"unknown quantize mode {quantize!r} (None, 'sq8', or 'rq1')")
+        raise ValueError(
+            f"unknown quantize mode {quantize!r} (None, 'sq8', 'rq1', or 'rq1c')"
+        )
     schema = T.StructType(fields)
     t = LakeTable.create(
         root,
@@ -105,7 +133,7 @@ def persist_ivf_index(index: IvfIndex, root: str, quantize: str | None = None) -
             "ivf.dim": str(dim),
         },
     )
-    t.append(index.assigned.select(*sel))
+    t.append(assigned.select(*sel))
     # sizing metadata for the drift gates: rows from the manifests (no scan)
     t.update_properties({
         "ivf.indexed_rows": str(sum(f.records for f in t.files())),
@@ -171,18 +199,35 @@ def ivf_append(table: LakeTable, new_vectors: DataFrame, recluster_on_drift: boo
             scale.alias("_scale"),
             cell,
         )
-    elif quant == "rq1":
+    elif quant in ("rq1", "rq1c"):
         from octocode_spark.operators.ann import rq1_code_col
 
         dim = int(props["ivf.dim"])
         raw = F.col(vec_col).cast("array<double>")
-        norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
-        assigned = new_vectors.select(
-            F.col(id_col),
-            rq1_code_col(raw, dim).alias(vec_col),
-            norm.alias("_scale"),
-            cell,
-        )
+        if quant == "rq1c":
+            coded = raw
+            if normalized:
+                nrm2 = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+                coded = F.when(nrm2 > 0, F.transform(raw, lambda x: x / nrm2)).otherwise(raw)
+            with_cell = new_vectors.withColumn("_cell", cell).join(
+                F.broadcast(_centroid_frame(new_vectors.sparkSession, centroids)), "_cell"
+            )
+            res = F.zip_with(coded, F.col("_cen"), lambda x, c: x - c)
+            norm = F.sqrt(F.aggregate(res, F.lit(0.0), lambda a, x: a + x * x))
+            assigned = with_cell.select(
+                F.col(id_col),
+                rq1_code_col(res, dim).alias(vec_col),
+                norm.alias("_scale"),
+                F.col("_cell"),
+            )
+        else:
+            norm = F.sqrt(F.aggregate(raw, F.lit(0.0), lambda a, x: a + x * x))
+            assigned = new_vectors.select(
+                F.col(id_col),
+                rq1_code_col(raw, dim).alias(vec_col),
+                norm.alias("_scale"),
+                cell,
+            )
     elif quant in ("none", ""):
         assigned = new_vectors.select(F.col(id_col), F.col(vec_col), cell)
     else:
@@ -224,26 +269,30 @@ def _read_dequantized(spark: SparkSession, table: LakeTable) -> DataFrame:
         df = df.withColumn(
             vec_col, F.transform(F.col(vec_col), lambda q: q.cast("double") * F.col("_scale"))
         )
-    elif quant == "rq1":
+    elif quant in ("rq1", "rq1c"):
         # sign reconstruction v̂_i = (±1) · scale/√dim — all the code retains;
         # ample for re-training a COARSE quantizer (directions survive,
-        # magnitudes are per-vector uniform)
+        # magnitudes are per-vector uniform). Centered codes add the cell
+        # centroid back (the code stored the residual's signs).
         import math
 
         dim = int(props["ivf.dim"])
         code = F.col(vec_col)
-        df = df.withColumn(
-            vec_col,
-            F.transform(
-                F.sequence(F.lit(0), F.lit(dim - 1)),
-                lambda i: (
-                    F.getbit(
-                        F.element_at(code, F.floor(i / F.lit(64)).cast("int") + F.lit(1)),
-                        i % F.lit(64),
-                    ).cast("double") * F.lit(2.0) - F.lit(1.0)
-                ) * F.col("_scale") / F.lit(math.sqrt(dim)),
-            ),
+        sign_part = F.transform(
+            F.sequence(F.lit(0), F.lit(dim - 1)),
+            lambda i: (
+                F.getbit(
+                    F.element_at(code, F.floor(i / F.lit(64)).cast("int") + F.lit(1)),
+                    i % F.lit(64),
+                ).cast("double") * F.lit(2.0) - F.lit(1.0)
+            ) * F.col("_scale") / F.lit(math.sqrt(dim)),
         )
+        if quant == "rq1c":
+            centroids = json.loads(props["ivf.centroids"])
+            df = df.join(F.broadcast(_centroid_frame(spark, centroids)), "_cell")
+            df = df.withColumn(vec_col, F.zip_with(sign_part, F.col("_cen"), lambda s, c: s + c))
+        else:
+            df = df.withColumn(vec_col, sign_part)
     return df.select(id_col, vec_col)
 
 
@@ -281,11 +330,16 @@ def ivf_recluster(spark: SparkSession, table: LakeTable):
             scale.alias("_scale"),
             F.col("_cell"),
         ]
-    elif quant == "rq1":
+    elif quant in ("rq1", "rq1c"):
         from octocode_spark.operators.ann import rq1_code_col
 
         dim = int(props["ivf.dim"])
         v = F.col(vec_col).cast("array<double>")
+        if quant == "rq1c":
+            if normalized:
+                nrm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
+                v = F.when(nrm > 0, F.transform(v, lambda x: x / nrm)).otherwise(v)
+            v = F.zip_with(v, F.col("_cen"), lambda x, c: x - c)
         norm = F.sqrt(F.aggregate(v, F.lit(0.0), lambda a, x: a + x * x))
         sel = [
             F.col(id_col),
@@ -295,7 +349,12 @@ def ivf_recluster(spark: SparkSession, table: LakeTable):
         ]
     else:
         sel = [F.col(id_col), F.col(vec_col), F.col("_cell")]
-    snap = table.overwrite_all(index.assigned.select(*sel))
+    reassigned = index.assigned
+    if quant == "rq1c":
+        reassigned = reassigned.join(
+            F.broadcast(_centroid_frame(spark, index.centroids)), "_cell"
+        )
+    snap = table.overwrite_all(reassigned.select(*sel))
     table.update_properties({
         "ivf.centroids": json.dumps([[float(x) for x in c] for c in index.centroids]),
         "ivf.indexed_rows": str(current_rows),
@@ -326,14 +385,23 @@ def ivf_search_persisted(
     properties (no corpus IO), probe cells planned as a file list via the
     manifests, exact cosine re-rank inside those files only.
 
-    rq1 indexes pre-rank the probed cells by HAMMING distance to the query's
-    sign code (xor + bit_count, whole-stage codegen) and keep a shortlist of
-    ``shortlist`` (default max(10k, 100)) candidates. With
-    ``rerank_vectors`` — a (id_col, vec_col) frame holding the FULL vectors,
-    e.g. the source corpus — the shortlist ids are fetched by a broadcast
-    semi-join (a few hundred ids against any corpus size) and exact-cosine
-    re-ranked, the RaBitQ search shape. Without it, results carry the
-    Hamming-derived cosine estimate cos(π·h/dim)."""
+    rq1/rq1c indexes pre-rank the probed cells by HAMMING distance to the
+    query's sign code (xor + bit_count, whole-stage codegen) and keep a
+    shortlist of ``shortlist`` candidates. The default ADAPTS to the probed
+    population — max(10·k, probed_rows/16, 100) capped at 8192 (probed_rows
+    read from the manifests, no scan): measured on a 16-mode corpus, recall
+    rises 0.325→0.80 going shortlist 100→1600 of 30k probed at FLAT latency
+    (the rerank is a broadcast fetch either way), so a fixed small default
+    silently caps recall. With ``rerank_vectors`` — a (id_col, vec_col)
+    frame holding the FULL vectors, e.g. the source corpus — the shortlist
+    ids are fetched by a broadcast semi-join and exact-cosine re-ranked,
+    the RaBitQ search shape. Without it, results carry the Hamming-derived
+    cosine estimate cos(π·h/dim).
+
+    ``rq1c`` (centered/residual codes — the actual RaBitQ shape) searches
+    with a PER-CELL query code: signs of (q̂ − centroid_cell), packed
+    driver-side, broadcast-joined on _cell, compared with the codegen
+    xor/bit_count column kernel."""
     import math
 
     props = table.meta.properties
@@ -342,17 +410,39 @@ def ivf_search_persisted(
     id_col, vec_col = props["ivf.id_col"], props["ivf.vec_col"]
     cells = rank_cells(centroids, query, normalized)[:n_probe]
     files = probe_files(table, cells)
-    cand = table.read_files(spark, files).drop("_cell")
+    cand = table.read_files(spark, files)
     quant = props.get("ivf.quantize")
-    if quant == "rq1":
-        from octocode_spark.operators.ann import rq1_hamming, rq1_query_code
+    if quant in ("rq1", "rq1c"):
+        from octocode_spark.operators.ann import (
+            rq1_hamming,
+            rq1_hamming_cols,
+            rq1_query_code,
+        )
 
         dim = int(props["ivf.dim"])
-        hm = rq1_hamming(vec_col, rq1_query_code(query))
+        if quant == "rq1c":
+            # centered codes: the query's code differs per probed cell —
+            # signs of (q̂ − centroid_cell), packed driver-side and joined in
+            # as a tiny broadcast frame keyed by _cell
+            q = [float(x) for x in query]
+            if normalized:
+                n2 = sum(x * x for x in q) ** 0.5
+                if n2 > 0:
+                    q = [x / n2 for x in q]
+            qrows = [
+                (int(c), rq1_query_code([q[j] - centroids[c][j] for j in range(dim)]))
+                for c in cells
+            ]
+            qframe = spark.createDataFrame(qrows, "_cell: int, _qc: array<long>")
+            hm = rq1_hamming_cols(vec_col, "_qc", (dim + 63) // 64)
+            cand = cand.join(F.broadcast(qframe), "_cell")
+        else:
+            hm = rq1_hamming(vec_col, rq1_query_code(query))
+        probed_rows = sum(f.records for f in files)
         short = (
             cand.select(F.col(id_col), hm.alias("_hm"))
             .orderBy(F.col("_hm").asc(), F.col(id_col).asc())  # TakeOrderedAndProject
-            .limit(shortlist or max(10 * k, 100))
+            .limit(shortlist or min(8192, max(10 * k, probed_rows // 16, 100)))
         )
         if rerank_vectors is not None:
             fetched = rerank_vectors.join(F.broadcast(short.select(id_col)), id_col, "inner")
@@ -363,6 +453,7 @@ def ivf_search_persisted(
             .orderBy(F.col("cosine").desc(), F.col(id_col).asc())
             .limit(k)
         )
+    cand = cand.drop("_cell")
     if quant == "sq8":
         # JVM-side dequantize: v̂ = q · scale, then the exact cosine re-rank
         cand = cand.withColumn(

@@ -177,6 +177,19 @@ def rq1_hamming(code_col: str | Column, query_words: list[int]) -> Column:
     return total.cast("int")
 
 
+def rq1_hamming_cols(code_col: str | Column, qcode_col: str | Column, n_words: int) -> Column:
+    """Hamming distance between TWO code columns (the centered-rq1 search
+    shape, where the query's code differs per probed cell and rides in a
+    broadcast-joined column) — same codegen xor/bit_count, no UDF."""
+    a = F.col(code_col) if isinstance(code_col, str) else code_col
+    b = F.col(qcode_col) if isinstance(qcode_col, str) else qcode_col
+    total = None
+    for i in range(n_words):
+        t = F.bit_count(F.element_at(a, i + 1).bitwiseXOR(F.element_at(b, i + 1)))
+        total = t if total is None else total + t
+    return total.cast("int")
+
+
 # ---------------------------------------------------------------- adaptive sizing
 # The reference derives the IVF partition count from the corpus size instead
 # of taking a fixed parameter (src/store/vector_optimizer.rs:130-197):

@@ -71,10 +71,15 @@ def main() -> None:
         # 32 (~30k vectors), big cells probe 1 of 4 (~30k vectors) — so the
         # comparison isolates "one big cell vs several small ones", i.e.
         # exactly the in-cell cost the HNSW analog would amortize
-        for tag, n_clusters, n_probe in (("cells32_probe8", 32, 8), ("cells4_probe1", 4, 1)):
+        for tag, n_clusters, n_probe, qmode in (
+            ("cells32_probe8", 32, 8, "rq1"),
+            ("cells4_probe1", 4, 1, "rq1"),
+            ("cells32_probe8_centered", 32, 8, "rq1c"),
+            ("cells4_probe1_centered", 4, 1, "rq1c"),
+        ):
             index = build_ivf_index(corpus, n_clusters=n_clusters, cache=False)
             root = os.path.join(tmp, tag)
-            persist_ivf_index(index, root, quantize="rq1")
+            persist_ivf_index(index, root, quantize=qmode)
             handle = load_ivf_index(root)
             lat, rec, probed = [], [], []
             for rep in range(2):  # rep 0 = warmup (codegen+footers), rep 1 measured
@@ -82,7 +87,7 @@ def main() -> None:
                     t0 = time.monotonic()
                     hits = ivf_search_persisted(
                         spark, handle, qvs[i], k=K, n_probe=n_probe,
-                        rerank_vectors=corpus, shortlist=10 * K,
+                        rerank_vectors=corpus,  # shortlist: adaptive default
                     ).collect()
                     dt = time.monotonic() - t0
                     if rep:
