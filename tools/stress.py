@@ -81,6 +81,33 @@ def main() -> None:
     gates["expiry_gc_ran"] = bool(expired) and bool(t.last_gc_files)
     gates["post_gc_readable"] = t.read(spark).count() == expected.count()
 
+    # round-5 replication stage: export a replica, mutate the source through
+    # a window (10% append + a LARGE keyed MoR delete via the cluster-side
+    # semi-join path), then debounce-replicate the whole window as ONE
+    # destination commit and require exact state equality
+    from pyspark.sql import functions as F
+
+    from octocode_spark.lakehouse.replicate import replicate_coalesced
+
+    cursor = t.meta.current_snapshot_id
+    t.export_snapshot(f"{ROOT}/replica")
+    replica = LakeTable.load(f"{ROOT}/replica")
+    fresh = sequences(spark, ROWS // 10, max_tok_cap=2048).withColumn(
+        "doc_id", F.concat(F.lit("r5-"), F.col("doc_id"))
+    )
+    t.append(fresh.repartition(8))
+    victims = t.read(spark).select("doc_id").orderBy("doc_id").limit(ROWS // 20)
+    gates["keyed_mor_delete_no_rewrite"] = (
+        t.delete_where_keys(spark, victims, mode="mor") is not None
+        and len(t.delete_files()) >= 1
+    )
+    v_before = replica.meta.version
+    replicate_coalesced(spark, t, replica, cursor, key="doc_id")
+    gates["replication_one_commit"] = replica.meta.version == v_before + 1
+    gates["replication_digest_equal"] = (
+        table_digest(replica.read(spark)) == table_digest(t.read(spark))
+    )
+
     out = {
         "rows": ROWS,
         "files_before": n_files0,
