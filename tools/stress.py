@@ -90,8 +90,7 @@ def main() -> None:
     from octocode_spark.lakehouse.replicate import replicate_coalesced
 
     cursor = t.meta.current_snapshot_id
-    t.export_snapshot(f"{ROOT}/replica")
-    replica = LakeTable.load(f"{ROOT}/replica")
+    replica = t.export_snapshot(f"{ROOT}/replica")
     fresh = sequences(spark, ROWS // 10, max_tok_cap=2048).withColumn(
         "doc_id", F.concat(F.lit("r5-"), F.col("doc_id"))
     )
