@@ -392,7 +392,7 @@ def main() -> None:
     input_root = build_input("input")
     warmup_root = build_input("warmup", rows=max(BENCH_ROWS // 8, 50_000))
     levels, rstats = maintenance_interleaved(
-        input_root, [small_cores, CPUS], rounds=7, warmup_root=warmup_root
+        input_root, [small_cores, CPUS], rounds=9, warmup_root=warmup_root
     )
     m_small, m_big = levels[small_cores], levels[CPUS]
     shutil.rmtree(input_root, ignore_errors=True)
