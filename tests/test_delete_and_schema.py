@@ -574,3 +574,29 @@ def test_rewrite_conflicts_on_mor_delete_after_planning(spark, tmp_table_dir):
     t.replace_files([f.path for f in files], added2, operation="compact",
                     known_sidecars=known2)
     assert t.read(spark).filter(F.col("doc_id") == victim).count() == 0
+
+
+def test_replicate_coalesced_edge_windows(spark, tmp_path):
+    """Coalesced replication edge windows: an empty window is a no-op (no
+    commit, cursor unchanged); a deletes-only window commits ONCE with
+    sidecars and no data files; state stays mirrored."""
+    from octocode_spark.lakehouse.replicate import replicate_coalesced
+
+    src = make_sequences_table(spark, str(tmp_path / "src"), n_rows=200, small_files=2)
+    cursor = src.meta.current_snapshot_id
+    dst = src.export_snapshot(str(tmp_path / "dst"))
+
+    v0 = dst.meta.version
+    assert replicate_coalesced(spark, src, dst, cursor, key="doc_id") == cursor
+    assert dst.meta.version == v0  # empty window: nothing committed
+
+    victims = [r["doc_id"] for r in
+               src.read(spark).select("doc_id").orderBy("doc_id").limit(5).collect()]
+    src.delete_where(spark, F.col("doc_id").isin(victims), mode="mor")
+    data_before = {f.path for f in dst.files()}
+    new_cursor = replicate_coalesced(spark, src, dst, cursor, key="doc_id")
+    assert new_cursor == src.meta.current_snapshot_id
+    assert dst.meta.version == v0 + 1                 # exactly one commit
+    assert {f.path for f in dst.files()} == data_before  # no data files added
+    assert dst.delete_files()                          # deletes as sidecars
+    assert table_digest(dst.read(spark)) == table_digest(src.read(spark))
