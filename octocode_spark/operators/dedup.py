@@ -117,6 +117,13 @@ def ngram_jaccard_pairs(
             F.col("df") <= max_shingle_df
         )
         sh = sh.join(rare.select("shingle"), "shingle", "left_semi")
+    # materialize the (doc_id, shingle) frame ONCE: the per-doc sizes and
+    # BOTH self-join sides consume it, and without a lineage cut Catalyst
+    # re-plans the corpus scan + explode (+ the frequency-cut aggregation)
+    # for every leg — measured 8 parquet scans / 8 explodes in the
+    # un-checkpointed plan, i.e. 8× read amplification at corpus scale. The
+    # checkpointed frame is narrow (doc_id + 8-byte hashed shingle).
+    sh = sh.localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     a = sh.select(F.col("doc_id").alias("a"), "shingle")
     b = sh.select(F.col("doc_id").alias("b"), "shingle")
@@ -203,10 +210,12 @@ def minhash_lsh_pairs(
         .select("a", "b")
         .distinct()
     )
-    # verify candidates with exact Jaccard (semi-joined shingle sets only)
+    # verify candidates with exact Jaccard (semi-joined shingle sets only);
+    # same lineage cut as ngram_jaccard_pairs — the candidate-cut shingle
+    # frame feeds sizes and both intersection legs
     sh = shingles(docs, text_col, n)
     ids = cands.select(F.col("a").alias("doc_id")).union(cands.select("b")).distinct()
-    sh = sh.join(ids, "doc_id", "left_semi")
+    sh = sh.join(ids, "doc_id", "left_semi").localCheckpoint(eager=True)
     sizes = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
     ia = sh.select(F.col("doc_id").alias("a"), "shingle")
     ib = sh.select(F.col("doc_id").alias("b"), "shingle")
