@@ -158,6 +158,7 @@ def watch_replicate(
     rounds: int,
     on_cursor=None,
     max_consecutive_errors: int = 3,
+    poll_interval_s: float = 0.0,
 ) -> int:
     """The watcher loop: each round debounce-coalesces everything the source
     committed since the cursor into one destination commit; transient errors
@@ -168,8 +169,10 @@ def watch_replicate(
     each successful round, honoring C3 write ordering. Returns the final
     cursor. ``rounds`` bounds the loop for schedulability/testing; run it
     under an external scheduler for a long-lived tail."""
+    import time
+
     errors = 0
-    for _ in range(rounds):
+    for rnd in range(rounds):
         try:
             new_cursor = replicate_coalesced(spark, src, dst, cursor, key)
             errors = 0
@@ -181,4 +184,6 @@ def watch_replicate(
             errors += 1
             if errors >= max_consecutive_errors:
                 raise
+        if poll_interval_s and rnd + 1 < rounds:
+            time.sleep(poll_interval_s)
     return cursor
