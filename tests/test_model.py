@@ -37,6 +37,7 @@ OPS = st.lists(
         st.tuples(st.just("delete_mor"), st.integers(2, 5)),
         st.tuples(st.just("delete_cow"), st.integers(2, 5)),
         st.tuples(st.just("delete_keys"), st.integers(1, 6)),
+        st.tuples(st.just("merge"), st.integers(2, 5)),
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("rewrite_manifests"), st.just(0)),
         st.tuples(st.just("expire"), st.just(0)),
@@ -91,6 +92,27 @@ def test_lake_table_op_algebra_matches_model(spark, tmp_path_factory, ops):
             t.delete_where_keys(spark, keys, mode="mor")
             for v in victims:
                 model.pop(v, None)
+        elif op == "merge":
+            from octocode_spark.lakehouse.merge import merge_into
+
+            upd = sorted(model)[:arg]
+            fresh = [(f"d{next(counter):05d}", 7, SOURCES[0]) for _ in range(arg)]
+            src_rows = (
+                [(k, 999, model[k][2], False) for k in upd[1:]]
+                + ([(upd[0], 0, model[upd[0]][2], True)] if upd else [])  # delete arm
+                + [(r[0], r[1], r[2], False) for r in fresh]
+            )
+            merge_into(
+                spark, t,
+                spark.createDataFrame(src_rows, ROW_SCHEMA + ", deleted: boolean"),
+                key="doc_id",
+            )
+            if upd:
+                model.pop(upd[0], None)
+            for k in upd[1:]:
+                model[k] = (k, 999, model[k][2])
+            for r in fresh:
+                model[r[0]] = r
         elif op == "compact":
             if t.files():
                 rewrite_partitions(
