@@ -233,11 +233,12 @@ CLEAN_CPU_RATIO = float(os.environ.get("SPARK_GRAFT_CLEAN_CPU_RATIO", "2.4"))
 
 def _await_clean_window(small: int, big: int, max_wait_s: float = 45.0,
                         poll_sleep_s: float = 4.0) -> float:
+    # returns the LAST probe deliberately — it is the weather of the window
+    # the measured pair is about to run in, which is what the bracketing
+    # ceiling estimate wants (not the best window seen while waiting)
     t0 = time.monotonic()
-    best = 0.0
     while True:
         r = _round_cpu_ratio(small, big, reps=1)  # cheap probe for gating only
-        best = max(best, r)
         if r >= CLEAN_CPU_RATIO or time.monotonic() - t0 >= max_wait_s:
             return r
         time.sleep(poll_sleep_s)

@@ -68,9 +68,12 @@ def replicate_changelog(
         # key before appending reproduces the source's final state. The keys
         # stay a DataFrame end to end — semi-joined against the destination
         # scan, written straight into the sidecar (no driver collect, no
-        # isin literal: a 10M-row source delete is one shuffle here).
+        # isin literal: a 10M-row source delete is one shuffle here). The
+        # isEmpty probe touches only the single-commit delta, so append-only
+        # commits never pay the full destination scan the keyed delete costs.
         del_keys = delta.filter(F.col("_change_type") == "delete").select(key)
-        dst.delete_where_keys(spark, del_keys, mode="mor")
+        if not del_keys.isEmpty():
+            dst.delete_where_keys(spark, del_keys, mode="mor")
         ins = (
             delta.filter(F.col("_change_type") == "insert")
             .drop("_change_type", "_snapshot_id")
@@ -100,7 +103,12 @@ def replicate_coalesced(
     if head == from_snapshot_id:
         return from_snapshot_id
     delta = src.changelog_read(spark, from_snapshot_id=from_snapshot_id, to_snapshot_id=head)
-    changed = delta.select(key).dropDuplicates([key])
+    # materialize the (small, one-column) changed-key frame ONCE: it feeds
+    # BOTH the destination-hits semi-join and the head-state inserts
+    # semi-join, and without a lineage cut each action replays the whole
+    # multi-snapshot changelog scan (the same read-amplification class the
+    # dedup Jaccard paths had)
+    changed = delta.select(key).dropDuplicates([key]).localCheckpoint(eager=True)
     # net inserts = the source's WINDOW-END live rows of every changed key —
     # no event-order reasoning needed, and duplicate-key sources replicate
     # all surviving copies
@@ -112,19 +120,7 @@ def replicate_coalesced(
     files = dst.files()
     sidecars: list = []
     if files:
-        tagged = spark.read.schema(dst.schema).parquet(
-            *[os.path.join(dst.root, f.path) for f in files]
-        ).select(
-            "*",
-            F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_dfile"),
-            F.col("_metadata.row_index").alias("_dpos"),
-        )
-        existing = dst.delete_files()
-        if existing:
-            ddf = spark.read.parquet(
-                *[os.path.join(dst.root, f.path) for f in existing]
-            ).select(F.col("file_name").alias("_dfile"), F.col("pos").alias("_dpos"))
-            tagged = tagged.join(F.broadcast(ddf), ["_dfile", "_dpos"], "left_anti")
+        tagged = dst._tagged_live_scan(spark, files)
         hits = tagged.join(changed, key, "left_semi").select(
             F.col("_dfile").alias("file_name"), F.col("_dpos").cast("long").alias("pos")
         )

@@ -704,7 +704,7 @@ class LakeTable:
 
         with tarfile.open(archive_path, "r:gz") as tf:
             first = tf.next()
-            if first is None or first.name != cls.ARCHIVE_MARKER:
+            if first is None or not first.isfile() or first.name != cls.ARCHIVE_MARKER:
                 raise ValueError(
                     f"not an octocode_spark export archive (missing {cls.ARCHIVE_MARKER} "
                     "marker as first member)"
@@ -961,19 +961,19 @@ class LakeTable:
             mode=mode,
         )
 
-    def _delete_from_scan(
+    def _tagged_live_scan(
         self,
         spark: SparkSession,
         files: list[DataFile],
-        select_hits,
-        keep_rows,
-        mode: str,
-    ) -> Snapshot | None:
-        """Shared DELETE executor: position-tagged scan of still-LIVE rows
-        (pending sidecar entries anti-joined out — so neither mode can
-        re-delete or resurrect a row another sidecar already removed),
-        ``select_hits`` narrows it to the doomed rows, then either a MoR
-        sidecar commit or a CoW keep-rewrite of the hit files."""
+        delete_files: list[DataFile] | None = None,
+    ) -> DataFrame:
+        """Position-tagged scan of still-LIVE rows: table columns plus
+        (_dfile, _dpos) — the data file's basename and parquet row index —
+        with pending delete-sidecar entries anti-joined out. This is THE
+        canonical MoR keying plumbing; every consumer that writes or applies
+        positional deletes (predicate/keyed deletes, replication) must go
+        through it so sidecar key semantics live in exactly one place.
+        ``delete_files=None`` uses the current snapshot's sidecars."""
         from pyspark.sql import functions as F
 
         paths = [os.path.join(self.root, f.path) for f in files]
@@ -982,12 +982,31 @@ class LakeTable:
             F.element_at(F.split(F.col("_metadata.file_path"), "/"), -1).alias("_dfile"),
             F.col("_metadata.row_index").alias("_dpos"),
         )
-        existing = self.delete_files()
+        existing = self.delete_files() if delete_files is None else delete_files
         if existing:
             ddf = spark.read.parquet(*[os.path.join(self.root, f.path) for f in existing]).select(
                 F.col("file_name").alias("_dfile"), F.col("pos").alias("_dpos")
             )
             tagged = tagged.join(F.broadcast(ddf), ["_dfile", "_dpos"], "left_anti")
+        return tagged
+
+    def _delete_from_scan(
+        self,
+        spark: SparkSession,
+        files: list[DataFile],
+        select_hits,
+        keep_rows,
+        mode: str,
+    ) -> Snapshot | None:
+        """Shared DELETE executor: ``select_hits`` narrows the tagged live
+        scan to the doomed rows, then either a MoR sidecar commit or a CoW
+        keep-rewrite of the hit files (neither mode can re-delete or
+        resurrect a row another sidecar already removed — the tagged scan
+        excludes pending sidecar entries)."""
+        from pyspark.sql import functions as F
+
+        existing = self.delete_files()
+        tagged = self._tagged_live_scan(spark, files, delete_files=existing)
         if mode == "mor":
             hits = select_hits(tagged).select(
                 F.col("_dfile").alias("file_name"), F.col("_dpos").cast("long").alias("pos")

@@ -447,6 +447,16 @@ def ivf_search_persisted(
         if rerank_vectors is not None:
             fetched = rerank_vectors.join(F.broadcast(short.select(id_col)), id_col, "inner")
             return brute_force_topk(fetched, query, k, id_col, vec_col)
+        if quant == "rq1c":
+            # centered codes measure the RESIDUAL angle: cos(π·h/dim) over
+            # them does NOT approximate the query-vector cosine (a tight
+            # cluster would report ~0.0 for true-cosine-0.99 neighbors), so
+            # refuse instead of returning a semantically wrong score column
+            raise ValueError(
+                "rq1c search requires rerank_vectors: the Hamming distance is "
+                "over residual codes, whose angle estimate is not a cosine "
+                "approximation of the stored vectors"
+            )
         approx = F.round(F.cos(F.lit(math.pi) * F.col("_hm") / F.lit(float(dim))), 6)
         return (
             short.select(F.col(id_col), approx.alias("cosine"))

@@ -471,3 +471,14 @@ def test_rq1c_append_and_recluster_lifecycle(spark, clustered64, tmp_path):
     got = ivf_search_persisted(spark, t, [float(x) for x in base[1]], k=1, n_probe=2,
                                rerank_vectors=vecs.unionByName(new_df)).collect()
     assert got[0]["vec_id"] == 9100
+
+
+def test_rq1c_refuses_hamming_only_estimate(spark, clustered64, tmp_path):
+    """Centered codes measure the residual angle — cos(pi*h/dim) over them
+    is NOT a cosine approximation of the stored vectors, so the no-rerank
+    path must refuse loudly instead of returning a misleading score."""
+    vecs, base = clustered64
+    index = build_ivf_index(vecs, n_clusters=N_CLUSTERS, cache=False)
+    t = persist_ivf_index(index, str(tmp_path / "rq1c_ref"), quantize="rq1c")
+    with pytest.raises(ValueError, match="rerank_vectors"):
+        ivf_search_persisted(spark, t, [float(x) for x in base[0]], k=5, n_probe=2)

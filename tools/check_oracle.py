@@ -63,10 +63,12 @@ def main():
     # octocode_spark.queries directly: its wrapper ships the package zip to
     # executor workers (addPyFile), so UDF-bearing queries work from any cwd
     import importlib.util
+    import os
 
-    spec = importlib.util.spec_from_file_location(
-        "__spark_entry__", "/root/repo/__spark_entry__.py"
+    entry_path = os.path.join(
+        os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "__spark_entry__.py"
     )
+    spec = importlib.util.spec_from_file_location("__spark_entry__", entry_path)
     entry_mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(entry_mod)
     queries, oracle_sql = entry_mod.queries, entry_mod.oracle_sql
