@@ -41,6 +41,8 @@ OPS = st.lists(
         st.tuples(st.just("compact"), st.just(0)),
         st.tuples(st.just("rewrite_manifests"), st.just(0)),
         st.tuples(st.just("expire"), st.just(0)),
+        st.tuples(st.just("export_import"), st.just(0)),
+        st.tuples(st.just("wap_publish"), st.integers(2, 6)),
     ),
     min_size=3,
     max_size=7,
@@ -121,6 +123,26 @@ def test_lake_table_op_algebra_matches_model(spark, tmp_path_factory, ops):
                 prune_dangling_delete_sidecars(t)
         elif op == "rewrite_manifests":
             t.rewrite_manifests()
+        elif op == "export_import":
+            # export must carry FULL state (incl. pending sidecars) and the
+            # imported copy must behave identically under every later op —
+            # the rest of the program runs against the copy
+            t = t.export_snapshot(str(tmp_path_factory.mktemp("model") / f"exp{step}"))
+        elif op == "wap_publish":
+            # WAP staging: rows appended on a branch are invisible to main
+            # until publish fast-forwards it (publish consumes the ref)
+            if not model:
+                continue  # branching an empty table is refused by design
+            batch = [
+                (f"d{next(counter):05d}", 20 + i, SOURCES[i % len(SOURCES)])
+                for i in range(arg)
+            ]
+            t.create_branch("stage")
+            t.append(spark.createDataFrame(batch, ROW_SCHEMA), branch="stage")
+            assert _rows_of(t, spark) == set(model.values()), "branch leaked to main"
+            t.publish_branch("stage")
+            for row in batch:
+                model[row[0]] = row
         elif op == "expire":
             t.expire_snapshots(
                 older_than_ms=int(_time.time() * 1000) + 60_000, retain_last=1
