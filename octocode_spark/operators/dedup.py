@@ -69,6 +69,28 @@ def dedup_keep_best(
     )
 
 
+def spread_for_compute(df: DataFrame, key_col: str = "doc_id") -> DataFrame:
+    """Fan a starved scan out to the session's full parallelism before
+    CPU-heavy per-row work (shingling, per-permutation hashing).
+
+    A small corpus arrives as one parquet file with one row group, so every
+    downstream projection/explode runs as ONE task no matter how many cores
+    the session has (guide §2.5 input skew / §6 small files — measured 32×
+    idle on the sketch queries). The hash repartition moves only the scan's
+    bytes (cheap, text-sized) and is a NO-OP at scale: when the scan already
+    has >= defaultParallelism splits — the 100-TB case — the frame is
+    returned untouched, so no extra exchange ever reaches a big input.
+
+    Call this on RAW SCANS only: probing partition count of a post-shuffle
+    frame would materialize its stages early (AQE), and such frames are
+    already parallel."""
+    spark = df.sparkSession
+    target = spark.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() < target:
+        return df.repartition(target, F.col(key_col))
+    return df
+
+
 # ---------------------------------------------------------------- shingles
 
 def shingle_array(text: F.Column, n: int = 3, hash_shingles: bool = True) -> F.Column:
@@ -110,8 +132,28 @@ def ngram_jaccard_pairs(
     sizes. ``max_shingle_df`` drops ultra-common shingles (stopword n-grams)
     before the self-join — the classic frequency cut that keeps the join from
     exploding at corpus scale.
+
+    Shingle explosion here is CODEGEN-NATIVE (round 6), not the shared
+    ``shingles()`` array path: transform-lambdas and array_distinct are
+    CodegenFallback, i.e. interpreted per element — measured 17.5s cold /
+    2.2s warm for the df-count stage at sf1.0 (the gap is JIT warming the
+    expression-tree interpreter). Exploding positions and hashing with
+    plain expressions whole-stage-compiles: 5.0s cold, same rows. Per-doc
+    dedup (array_distinct's job) becomes ``distinct()`` whose partial
+    aggregate dedups map-side — a doc's rows never leave their task, so
+    the exchange carries already-unique 16-byte pairs, and every consumer
+    below reuses that one exchange instead of re-running the explode.
     """
-    sh = shingles(docs, text_col, n, hash_shingles=hash_shingles)
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    pos = docs.select(F.col("doc_id"), words.alias("_ws")).select(
+        "doc_id",
+        "_ws",
+        F.explode(F.sequence(F.lit(0), F.greatest(F.size("_ws") - n, F.lit(0)))).alias("_i"),
+    )
+    gram = F.concat_ws(" ", F.slice(F.col("_ws"), F.col("_i") + 1, n))
+    sh = pos.select(
+        "doc_id", (F.xxhash64(gram) if hash_shingles else gram).alias("shingle")
+    ).distinct()
     if max_shingle_df:
         rare = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("df")).filter(
             F.col("df") <= max_shingle_df
@@ -149,29 +191,47 @@ def minhash_signatures(docs: DataFrame, text_col: str = "text", n: int = 3,
     """(doc_id, sig: array<long>) — minhash via the h_i(x) = xxhash64(x, i)
     trick (equivalent to random permutations).
 
-    SHUFFLE-FREE shape (round 5): a signature is a PER-DOCUMENT value, so it
-    never needed an explode + groupBy — sig[i] = array_min(transform(
-    shingle_array, s -> xxhash64(s, i))) computes all num_perms mins in one
-    whole-stage-codegen pass over each row's shingle array, zero exchanges.
-    (The previous explode + num_perms-min-aggs shape paid a full shuffle and
-    a 64-column hash map per doc for the same values — bit-identical output,
-    pinned by the crafted-fixture tests, since min over the same multiset is
-    min over its distinct set.) At 100 TB this also removes the per-doc skew
-    a groupBy(doc_id) inherits from long documents."""
-    # the shingle array MUST be materialized in its own projection: inlining
-    # it into the num_perms min-expressions would re-shingle the text
-    # num_perms times per row (measured 16x wall). Catalyst's CollapseProject
-    # keeps a multi-referenced non-cheap alias as its own project, so _sh is
-    # evaluated once per row.
-    with_arr = docs.select("doc_id", shingle_array(F.col(text_col), n).alias("_sh"))
+    CODEGEN-NATIVE shape (round 6, bit-identical values — pinned by the
+    crafted-fixture tests and an exceptAll A/B at sf1.0): explode trigram
+    positions, hash each with plain expressions, take num_perms min()
+    aggregates per doc. The round-5 per-row shape (array_min over
+    transform-lambdas, zero exchanges) evaluates every element through the
+    interpreted expression tree — transform/aggregate are CodegenFallback —
+    measured 12.8s cold / 2.5s warm for 16 perms at sf1.0 vs 4.4s cold
+    here, where the whole pipeline whole-stage-compiles. min() is map-side
+    combinable and a doc's positions never leave their scan task, so the
+    partial aggregate emits exactly ONE row per doc: the exchange carries
+    #docs × num_perms longs regardless of document length (no per-doc skew,
+    ~0 bytes vs corpus size at 100 TB), and when the input is already
+    hash-partitioned by doc_id the exchange disappears entirely.
 
-    def perm_min(i: int):
-        # closure, NOT a default-arg 2-arg lambda: F.transform binds a second
-        # lambda parameter to the element INDEX (documented trap, CLAUDE.md)
-        return F.array_min(F.transform(F.col("_sh"), lambda s: F.xxhash64(s, F.lit(i))))
-
-    sig = F.array(*[perm_min(i) for i in range(num_perms)])
-    return with_arr.select("doc_id", sig.alias("sig"))
+    Distinctness is irrelevant for min (min over a multiset == min over its
+    distinct set), so no array_distinct/distinct anywhere. NULL text keeps
+    a NULL signature: the null-guard sits INSIDE each min (xxhash64 would
+    otherwise 'skip' the null input and hash nothing into the seed)."""
+    words = F.split(F.regexp_replace(F.lower(F.trim(F.col(text_col))), r"\s+", " "), " ")
+    pos = docs.select(F.col("doc_id"), words.alias("_ws")).select(
+        "doc_id",
+        "_ws",
+        # explode_outer: a NULL text yields a NULL-position row (not zero
+        # rows), so the doc stays in the output with sig elements NULL
+        F.explode_outer(F.sequence(F.lit(0), F.greatest(F.size("_ws") - n, F.lit(0)))).alias("_i"),
+    )
+    gram_h = F.xxhash64(F.concat_ws(" ", F.slice(F.col("_ws"), F.col("_i") + 1, n)))
+    sh = pos.select(
+        "doc_id",
+        F.when(F.col("_i").isNull(), F.lit(None).cast("long")).otherwise(gram_h).alias("_s"),
+    )
+    aggs = [
+        F.min(
+            F.when(F.col("_s").isNull(), F.lit(None).cast("long"))
+            .otherwise(F.xxhash64(F.col("_s"), F.lit(i)))
+        ).alias(f"_m{i}")
+        for i in range(num_perms)
+    ]
+    grouped = sh.groupBy("doc_id").agg(*aggs)
+    sig = F.array(*[F.col(f"_m{i}") for i in range(num_perms)])
+    return grouped.select("doc_id", sig.alias("sig"))
 
 
 def minhash_lsh_pairs(

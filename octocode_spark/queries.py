@@ -499,10 +499,14 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
     The OUTPUT exposes only (a, b, jaccard) — sizes and intersections are
     hash-invariant — so the raw-string DuckDB oracle still matches exactly
     (a cross-engine mismatch would need an xxhash64 collision between two
-    shingles of one document: p ≈ n²/2⁶⁴)."""
-    from octocode_spark.operators.dedup import ngram_jaccard_pairs
+    shingles of one document: p ≈ n²/2⁶⁴).
 
-    d = _t(spark, sf, "documents")
+    spread_for_compute (round 6): the corpus arrives as ONE parquet file,
+    so without the spread both shingle+explode passes run as a single task
+    — measured 75s of the 76s wall at sf1.0 on local[32]."""
+    from octocode_spark.operators.dedup import ngram_jaccard_pairs, spread_for_compute
+
+    d = spread_for_compute(_t(spark, sf, "documents"))
     return (
         ngram_jaccard_pairs(d, n=3, threshold=0.05, max_shingle_df=50, hash_shingles=True)
         .orderBy("a", "b")
@@ -1541,17 +1545,33 @@ def q26(spark: SparkSession, sf: str) -> DataFrame:
     """Both per-document dedup sketches in one frame: 16-permutation MinHash
     (three probe positions) joined with the 64-bit SimHash — rows-only in
     the gate (DuckDB has no xxhash64; bit-exactness is pinned by the
-    functions/xxh twin tests). Merged from the former q26/q27 entries."""
-    from octocode_spark.operators.dedup import minhash_signatures, simhash64
+    functions/xxh twin tests). Merged from the former q26/q27 entries.
 
-    d = _t(spark, sf, "documents")
+    Round-6 shape (values and order unchanged):
+    - spread_for_compute: the one-file corpus otherwise pins the 16-perm
+      minhash projection and the simhash explode to a single task;
+    - localCheckpoint before the global sort: orderBy's range-bounds
+      sampling re-executes a map-side child, and the minhash projection is
+      map-side all the way from the scan — measured 2× its cost without
+      the cut. The checkpointed frame is 4 longs per doc."""
+    from octocode_spark.operators.dedup import (
+        minhash_signatures,
+        simhash64,
+        spread_for_compute,
+    )
+
+    d = spread_for_compute(_t(spark, sf, "documents"))
     sig = minhash_signatures(d, num_perms=16).select(
         "doc_id",
         F.element_at("sig", 1).alias("sig0"),
         F.element_at("sig", 2).alias("sig1"),
         F.element_at("sig", 16).alias("sig15"),
     )
-    return sig.join(simhash64(d), "doc_id").orderBy("doc_id")
+    return (
+        sig.join(simhash64(d), "doc_id")
+        .localCheckpoint(eager=True)
+        .orderBy("doc_id")
+    )
 
 
 @_q(

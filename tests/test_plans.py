@@ -181,17 +181,19 @@ def test_q44_offset_pagination_no_global_window(spark, qs):
     assert body.count("Window") == 1
 
 
-def test_minhash_signatures_zero_exchange(spark):
-    """The round-5 minhash shape: signatures are per-row values — the plan
-    must be a pure projection over one scan (no Exchange, no aggregate),
-    with the shingle array materialized ONCE (a single array_distinct in
-    the plan, not num_perms of them)."""
+def test_minhash_signatures_codegen_one_exchange(spark):
+    """The round-6 minhash shape: codegen-native explode + map-side
+    combinable min aggregates — no interpreted higher-order lambdas
+    (transform/aggregate are CodegenFallback; measured 3× cold wall), one
+    scan, exactly one exchange (the partial aggregate emits one row per
+    doc, so it carries #docs × num_perms longs regardless of doc length),
+    and partial_min present so the combine really is map-side."""
     from octocode_spark.operators.dedup import minhash_signatures
 
     docs = spark.read.parquet(f"{SF}/documents.parquet")
     plan = formatted_plan(minhash_signatures(docs, num_perms=16))
     tree = plan.split("\n\n")[0]
-    assert "Exchange" not in tree, tree
-    assert "HashAggregate" not in tree, tree
+    assert tree.count("Exchange") == 1, tree
     assert tree.count("Scan parquet") == 1, tree
-    assert plan.count("array_distinct") == 1, "shingle array inlined N times"
+    assert "partial_min" in plan, "min aggregate must be map-side combinable"
+    assert "lambdafunction" not in plan, "interpreted HOF crept back in"
