@@ -80,9 +80,17 @@ def merge_into(
     # ---- 1. pruning: which live files can contain a source key?
     live = table.files(snapshot_id=table.branch_head(branch) if branch else None)
     if live:
-        # metadata prune on doc_id min/max (cheap, driver-side over manifests)
+        # metadata prune on doc_id min/max (cheap, driver-side over manifests).
+        # GATED on the same BROADCAST_KEY_LIMIT as the exact confirm below
+        # (round-5 verdict wrong #2): the prune broadcasts the distinct source
+        # keys into a nested-loop range join of O(files × keys) — at 50M keys
+        # that is an executor-OOM-sized broadcast for a prune that buys
+        # nothing (a source that large hits nearly every file anyway, and the
+        # exact semi-join below owns correctness either way).
         key_stats_known = [f for f in live if key in f.stats]
-        if key_stats_known and len(key_stats_known) == len(live):
+        if n_src > BROADCAST_KEY_LIMIT:
+            candidates = live
+        elif key_stats_known and len(key_stats_known) == len(live):
             bounds = [(f.path, f.stats[key][0], f.stats[key][1]) for f in live]
             bdf = spark.createDataFrame(bounds, ["path", "kmin", "kmax"])
             hit_paths = {

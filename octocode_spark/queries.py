@@ -219,7 +219,17 @@ def q06(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q07(spark: SparkSession, sf: str) -> DataFrame:
     """Cumulative window sum — the bin-packing assignment primitive
-    (SURVEY §2.7: cumulative size over zorder-ordered files)."""
+    (SURVEY §2.7: cumulative size over zorder-ordered files).
+
+    Round-6 shape (guide §2.4, results identical): range-partition by the
+    window key UP FRONT instead of letting the planner hash-shuffle for
+    the window and range-shuffle again for the final ORDER BY. Range
+    partitioning on l_orderkey satisfies both the window's clustering and
+    the final sort's OrderedDistribution (equal keys land in one
+    partition), so the whole table is shuffled ONCE instead of twice —
+    and the window is computed once: the old plan's second (range)
+    exchange re-executed Sort+Window as its bounds-sampling pass. The
+    only added cost is the range sampler's column-pruned extra scan."""
     # (l_orderkey, l_linenumber) is NOT unique in this corpus — the window
     # order must be total or the running sum is tie-order-nondeterministic
     w = (
@@ -229,6 +239,7 @@ def q07(spark: SparkSession, sf: str) -> DataFrame:
     )
     return (
         _t(spark, sf, "lineitem")
+        .repartitionByRange(F.col("l_orderkey"))
         .select(
             "l_orderkey",
             F.col("l_linenumber").cast("long").alias("l_linenumber"),
@@ -664,21 +675,26 @@ def q20(spark: SparkSession, sf: str) -> DataFrame:
     """,
 )
 def q21(spark: SparkSession, sf: str) -> DataFrame:
-    """Range join (bounded interval; equi-join on user + range predicate, so
-    Catalyst keeps it a hash join with residual filter, never a cross)."""
+    """Bounded-interval count — declared as a range join in the oracle;
+    executed as a SLIDING RANGE-FRAME WINDOW since round 6 (guide §2.4,
+    results identical, verified by exceptAll A/B and the DuckDB oracle).
+
+    The join shape equi-joins on user and leaves the interval as a
+    residual, so each user's purchases × events cross product is
+    materialized before filtering — O(Σ p_u·e_u) pairs, plus a second
+    shuffle for the count and a third for the sort. The window shape
+    shuffles events ONCE by user, sorts by microsecond epoch, and counts
+    rows in the value frame (ts, ts+1h] with Spark's monotone two-pointer
+    range-frame scan — O(n) per user. Timestamps are micros internally,
+    so rangeBetween(1, 3.6e9 micros) is EXACTLY `> ts AND <= ts + 1h`.
+    Measured 7.4s → 3.7s cold at sf1.0."""
     ev = _t(spark, sf, "events")
-    p = ev.filter("event_type = 'purchase'").select(
-        F.col("event_id").alias("purchase_id"), F.col("user_id").alias("pu"), F.col("ts").alias("pts")
-    )
-    e = ev.select(F.col("event_id").alias("eid"), "user_id", "ts")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    w = Window.partitionBy("user_id").orderBy(us).rangeBetween(1, 3_600_000_000)
     return (
-        p.join(
-            e,
-            (e.user_id == p.pu) & (e.ts > p.pts) & (e.ts <= p.pts + F.expr("INTERVAL 1 HOUR")),
-            "left",
-        )
-        .groupBy("purchase_id")
-        .agg(F.count("eid").alias("n_follow"))
+        ev.withColumn("n_follow", F.count(F.lit(1)).over(w))
+        .filter(F.col("event_type") == "purchase")
+        .select(F.col("event_id").alias("purchase_id"), F.col("n_follow").cast("long").alias("n_follow"))
         .orderBy("purchase_id")
     )
 

@@ -145,3 +145,36 @@ def test_merge_range_partitions_only_the_cached_upserts(spark, tmp_table_dir, mo
     assert "InMemoryRelation" in plans[0]  # child is the cached MERGE source
     assert "Join" not in plans[0]  # NOT the anti-join output
     assert table_digest(t.read(spark)) == table_digest(expected)
+
+
+def test_merge_huge_source_skips_bounds_prune_broadcast(spark, tmp_table_dir, monkeypatch):
+    """Sources above BROADCAST_KEY_LIMIT must NOT broadcast their distinct
+    keys into the min/max bounds prune (round-5 verdict wrong #2: a 50M-key
+    source would OOM executors in an O(files × keys) nested-loop range join
+    for a prune that buys nothing). The gate skips the prune entirely —
+    every live file becomes a candidate, correctness still owned by the
+    exact semi-join. Limit shrunk via monkeypatch so a 600-key source
+    counts as 'huge'."""
+    from octocode_spark.lakehouse import merge as merge_mod
+
+    t = make_sequences_table(spark, tmp_table_dir, n_rows=N, small_files=8)
+    updates = sequence_updates(spark, N, 600, max_tok_cap=256)
+    expected = _expected_after_merge(spark, N, updates)
+
+    monkeypatch.setattr(merge_mod, "BROADCAST_KEY_LIMIT", 100)
+    DataFrame = type(updates)
+    broadcast_children = []
+    orig = F.broadcast
+
+    def spy(df):
+        broadcast_children.append(df._jdf.queryExecution().analyzed().toString())
+        return orig(df)
+
+    monkeypatch.setattr(merge_mod.F, "broadcast", spy)
+    merge_into(spark, t, updates)
+    # no broadcast call may carry the distinct source keys of the prune
+    # (the MoR sidecar anti-join broadcast, if any, is fine — it is bounded
+    # by delete-file size, not source size)
+    for plan in broadcast_children:
+        assert "Distinct" not in plan, f"bounds-prune key broadcast not gated:\n{plan}"
+    assert table_digest(t.read(spark)) == table_digest(expected)
