@@ -687,7 +687,11 @@ def q21(spark: SparkSession, sf: str) -> DataFrame:
     rows in the value frame (ts, ts+1h] with Spark's monotone two-pointer
     range-frame scan — O(n) per user. Timestamps are micros internally,
     so rangeBetween(1, 3.6e9 micros) is EXACTLY `> ts AND <= ts + 1h`.
-    Measured 7.4s → 3.7s cold at sf1.0."""
+    Measured 7.4s → 3.7s cold at sf1.0.
+
+    Equivalence assumes non-null (user_id, ts) — verified true of every SF
+    of this deterministic corpus family (a NULL user would partition with
+    other NULLs here but never equi-join there)."""
     ev = _t(spark, sf, "events")
     us = F.unix_micros(F.col("ts").cast("timestamp"))
     w = Window.partitionBy("user_id").orderBy(us).rangeBetween(1, 3_600_000_000)
