@@ -810,3 +810,26 @@ def test_offset_pagination_deterministic_on_multigraph(spark):
     assert first == second  # repeatable
     flat = [t for page in first for t in page]
     assert len(flat) == 9 and len(set(flat)) == 9  # no dup / no loss
+
+
+def test_spread_for_compute_fans_out_starved_scan_noop_at_scale(spark):
+    from octocode_spark.operators.dedup import spread_for_compute
+
+    target = spark.sparkContext.defaultParallelism
+    docs = spark.createDataFrame(
+        [(i, f"doc text number {i}") for i in range(64)],
+        "doc_id: long, text: string",
+    )
+
+    # starved input (one partition, the one-file/one-rowgroup scan shape):
+    # fanned out to the session's full parallelism, values untouched
+    starved = docs.coalesce(1)
+    spread = spread_for_compute(starved)
+    assert starved.rdd.getNumPartitions() == 1
+    assert spread.rdd.getNumPartitions() == target
+    assert sorted(r["doc_id"] for r in spread.collect()) == list(range(64))
+
+    # already-parallel input (the at-scale case): returned UNTOUCHED —
+    # same object, so no exchange is ever added above a big scan
+    wide = docs.repartition(target + 4, "doc_id")
+    assert spread_for_compute(wide) is wide
