@@ -545,8 +545,17 @@ def q16(spark: SparkSession, sf: str) -> DataFrame:
 def q17(spark: SparkSession, sf: str) -> DataFrame:
     """Brute-force cosine top-k (ANN baseline; Q1 analog). The plan is
     TakeOrderedAndProject over one scan — per-partition partial top-k.
-    Ordering is on the ulp-robust floor(cos·1e6) key (stable_rank_key)."""
+    Ordering is on the ulp-robust floor(cos·1e6) key (stable_rank_key).
+
+    spread_for_compute (round 6): the embeddings table is ONE
+    file/rowgroup at every SF, so the interpreted `_dot` fold — the
+    query's whole cost — otherwise runs as a single task; fanning the
+    scan out first measured 2× at sf1.0 geometry (1.69→0.89 s cold,
+    0.42→0.22 s warm, interleaved A/B), values bit-identical (the fold
+    is per-row; partitioning cannot reorder it). The 1-row query-vector
+    arm stays on the raw scan."""
     from octocode_spark.operators.ann import _dot
+    from octocode_spark.operators.dedup import spread_for_compute
     from octocode_spark.operators.rrf import stable_rank_key
 
     e = _t(spark, sf, "embeddings")
@@ -554,7 +563,7 @@ def q17(spark: SparkSession, sf: str) -> DataFrame:
     v = F.col("embedding").cast("array<double>")
     cos = _dot(v, F.col("qv")) / (F.sqrt(_dot(v, v)) * F.sqrt(_dot(F.col("qv"), F.col("qv"))))
     return (
-        e.crossJoin(F.broadcast(q))
+        spread_for_compute(e, key_col="vec_id").crossJoin(F.broadcast(q))
         .select("vec_id", F.round(cos, 6).alias("cosine"), stable_rank_key(cos).alias("_cq"))
         .orderBy(F.col("_cq").desc(), F.col("vec_id").asc())
         .limit(10)
