@@ -195,10 +195,25 @@ def q05(spark: SparkSession, sf: str) -> DataFrame:
 )
 def q06(spark: SparkSession, sf: str) -> DataFrame:
     """Rank-within-group window — the reference's rank-within-list made
-    explicit (src/store/weighted_rrf.rs:83-105)."""
+    explicit (src/store/weighted_rrf.rs:83-105).
+
+    spread_for_compute (round 6): the one-rowgroup orders scan pins the
+    map-side Sort+WindowGroupLimit pre-cut to a SINGLE task; hashing the
+    scan out by the window key first lets the sort/pre-cut run on all
+    cores AND satisfies the window's clustering, so no second full-table
+    exchange appears (measured 1.7×: 3.37→1.94 s cold, 1.58→0.94 s warm
+    at sf1.0 geometry, exceptAll diff 0 — row_number is deterministic
+    under any partitioning because o_orderkey makes the order total).
+    At scale the spread no-ops and the plan keeps the partial
+    WindowGroupLimit below the exchange — the shape the round-6 report
+    defends for 100 TB; the earlier-rejected range-partition-first
+    restructure would have shuffled the full table at scale, this does
+    not."""
+    from octocode_spark.operators.dedup import spread_for_compute
+
     w = Window.partitionBy("o_custkey").orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey").asc())
     return (
-        _t(spark, sf, "orders")
+        spread_for_compute(_t(spark, sf, "orders"), key_col="o_custkey")
         .withColumn("rn", F.row_number().over(w))
         .filter(F.col("rn") <= 3)
         .select("o_custkey", "o_orderkey", F.col("rn").cast("long").alias("rn"))
